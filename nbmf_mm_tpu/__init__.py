@@ -1,0 +1,28 @@
+"""nbmf-mm-tpu: TPU-native mean-parameterized Bernoulli (binary) matrix
+factorization via Majorization-Minimization.
+
+A ground-up JAX/XLA/Pallas re-architecture of the capabilities of the
+reference library ``siddC/nbmf_mm`` (P. Magron and C. Fevotte, "A
+majorization-minimization algorithm for nonnegative binary matrix
+factorization," IEEE Signal Processing Letters, 2022):
+
+- the MM solver is a single compiled ``lax.while_loop`` running entirely
+  on-device (:mod:`nbmf_mm_tpu.solver`);
+- the hot sweep math lives in fused kernels (:mod:`nbmf_mm_tpu.ops`), with a
+  Pallas fast path on TPU;
+- ``n_init`` restarts are ``vmap``-batched and large factorizations shard
+  across TPU meshes with GSPMD (:mod:`nbmf_mm_tpu.parallel`);
+- the public scikit-learn-style API matches the reference exactly
+  (:mod:`nbmf_mm_tpu.models`): ``NBMF``/``NBMFMM`` with
+  ``fit/transform/fit_transform/inverse_transform/score/perplexity``, both
+  orientations, masked completion, seeded reproducibility.
+
+Public import surface mirrors the reference (``src/nbmf_mm/__init__.py:17``):
+``NBMFMM``, ``NBMF``, ``nbmf_mm_solver`` — plus the richer :func:`solve`.
+"""
+
+from ._version import __version__
+from .models.estimator import NBMF, NBMFMM
+from .solver.driver import SolverResult, nbmf_mm_solver, solve
+
+__all__ = ["NBMFMM", "NBMF", "nbmf_mm_solver", "solve", "SolverResult", "__version__"]

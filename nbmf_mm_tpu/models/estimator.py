@@ -1,0 +1,300 @@
+"""Scikit-learn-style estimator for NBMF-MM, backed by the TPU-native solver.
+
+Preserves the full behavioral contract of the reference estimator
+(``siddC/nbmf_mm`` ``src/nbmf_mm/_base.py``): constructor signature and
+attribute names (``W_``, ``components_``, ``loss_curve_``,
+``objective_history_``, ``loss_``, ``n_iter_``, ``reconstruction_err_``),
+orientation aliases and canonicalization, input validation ("X must be
+binary"), sparse densification, masked training, ``transform`` fold-in,
+``score``/``perplexity`` semantics (including the refit-via-transform
+behavior, ``_base.py:235``).
+
+Documented deviations (SURVEY.md §7 decision list):
+
+- ``transform`` (and therefore ``score``/``perplexity``) is *seeded* from
+  ``random_state`` — the reference draws from the global NumPy RNG
+  (``_base.py:175``), which no test pins;
+- new constructor capabilities: ``n_init`` (vmapped restarts), ``projection``
+  (``"normalize"``/``"duchi"``), ``mask_mode`` (``"parity"``/``"corrected"``),
+  ``dtype``, ``precision``, ``mesh`` (GSPMD sharding);
+- legacy README-only flags (``use_numexpr``, ``use_numba``,
+  ``projection_backend``) are accepted and ignored for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.updates import fold_in_w_update
+from ..solver.driver import _resolve_dtype, _resolve_precision, solve
+from ..utils.validation import check_array, check_is_fitted, densify
+
+__all__ = ["NBMFMM", "NBMF"]
+
+try:  # sklearn is optional; the estimator works standalone.
+    from sklearn.base import BaseEstimator, TransformerMixin
+
+    _BASES = (BaseEstimator, TransformerMixin)
+except Exception:  # pragma: no cover
+    _BASES = (object,)
+
+
+_ORIENTATION_ALIASES = {
+    # Canonical forms and case/synonym aliases (reference _base.py:127-137).
+    "beta-dir": "beta-dir",
+    "dir-beta": "dir-beta",
+    "Beta-Dir": "beta-dir",
+    "Dir-Beta": "dir-beta",
+    "Dir Beta": "dir-beta",
+    "binary ICA": "beta-dir",
+    "Binary ICA": "beta-dir",
+    "bICA": "beta-dir",
+    "Aspect Bernoulli": "dir-beta",
+}
+
+
+@partial(jax.jit, static_argnames=("n_iter", "precision"))
+def _transform_core(H, Ym, Ym2, W0t, eps, *, n_iter: int, precision):
+    """Fold-in: find W for new data with ``H`` fixed (reference
+    ``_base.py:178-193``), as a jitted ``fori_loop`` of the beta-dir W update."""
+    n_features = H.shape[1]
+
+    def body(_, Wt):
+        return fold_in_w_update(
+            Wt, H, Ym, Ym2, n_features=n_features, eps=eps, precision=precision
+        )
+
+    Wt = jax.lax.fori_loop(0, n_iter, body, W0t)
+    W = Wt.T
+    # Final box clip + row renormalization (reference _base.py:196-198).
+    W = jnp.clip(W, 1e-8, 1.0)
+    return W / W.sum(axis=1, keepdims=True)
+
+
+class NBMFMM(*_BASES):
+    """Non-negative Binary Matrix Factorization via Majorization-Minimization.
+
+    TPU-native implementation of the NBMF-MM algorithm from P. Magron and
+    C. Fevotte, "A majorization-minimization algorithm for nonnegative binary
+    matrix factorization," IEEE Signal Processing Letters, 2022.
+
+    Parameters
+    ----------
+    n_components : int, default=10
+        Latent dimension ``k``.
+    alpha, beta : float, default=1.2
+        Beta-prior parameters for the continuous factor.
+    max_iter : int, default=2000
+        Maximum number of MM sweeps.
+    tol : float, default=1e-5
+        Relative-loss-change convergence tolerance.
+    W_init, H_init : array-like, optional
+        Warm-start factors (shapes ``(n_samples, k)`` / ``(k, n_features)``).
+    init : ignored
+        Present for API compatibility with the reference (unused there too).
+    random_state : int or None
+        Seed for factor initialization (and for ``transform``'s fold-in).
+    verbose : int, default=0
+        Print loss every 10 sweeps when > 0.
+    orientation : str, default="beta-dir"
+        ``"beta-dir"``: W rows on the simplex, H ~ Beta (paper default);
+        ``"dir-beta"``: H columns on the simplex, W ~ Beta.  Aliases such as
+        ``"Binary ICA"`` / ``"Aspect Bernoulli"`` are canonicalized.
+    n_init : int, default=1
+        Number of random restarts, batched on-device via ``vmap``; the fit
+        with the lowest final objective is kept.
+    projection : {"normalize", "duchi"}, default="normalize"
+        Simplex step: paper-exact multiplicative renormalization, or Duchi
+        sort-based Euclidean projection.
+    mask_mode : {"parity", "corrected"}, default="parity"
+        Masked-training semantics: exact reference behavior vs. fully
+        consistent observed-entries-only masking.
+    dtype : optional
+        Compute dtype (default: float64 when JAX x64 is enabled, else f32).
+    precision : optional
+        Matmul precision ("default"/"high"/"highest" or lax.Precision).
+    mesh : jax.sharding.Mesh, optional
+        Shard the factorization over a device mesh with GSPMD.
+    use_numexpr, use_numba, projection_backend : ignored
+        Legacy reference-README flags, accepted for drop-in compatibility.
+    """
+
+    def __init__(
+        self,
+        n_components=10,
+        alpha=1.2,
+        beta=1.2,
+        max_iter=2000,
+        tol=1e-5,
+        W_init=None,
+        H_init=None,
+        init=None,
+        random_state=None,
+        verbose=0,
+        orientation="beta-dir",
+        n_init=1,
+        projection="normalize",
+        mask_mode="parity",
+        dtype=None,
+        precision=None,
+        mesh=None,
+        use_numexpr=None,
+        use_numba=None,
+        projection_backend=None,
+    ):
+        self.n_components = n_components
+        self.alpha = alpha
+        self.beta = beta
+        self.max_iter = max_iter
+        self.tol = tol
+        self.W_init = W_init
+        self.H_init = H_init
+        self.init = init  # unused; kept for reference compatibility
+        self.random_state = random_state
+        self.verbose = verbose
+        self.orientation = orientation
+        self.n_init = n_init
+        self.projection = projection
+        self.mask_mode = mask_mode
+        self.dtype = dtype
+        self.precision = precision
+        self.mesh = mesh
+        self.use_numexpr = use_numexpr
+        self.use_numba = use_numba
+        self.projection_backend = projection_backend
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, X, y=None, mask=None):
+        """Fit the NBMF model to binary (or [0,1]-valued) data ``X``."""
+        X = check_array(X, accept_sparse="csr", dtype=np.float64)
+        X = densify(X)
+        if not np.all((X >= 0) & (X <= 1)):
+            raise ValueError("X must be binary")
+
+        # Canonicalize and *store* the normalized orientation — tests rely on
+        # the mutation (reference _base.py:94-95).
+        orientation = self._normalize_orientation(self.orientation)
+        self.orientation = orientation
+
+        result = solve(
+            X,
+            n_components=self.n_components,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            alpha=self.alpha,
+            beta=self.beta,
+            W_init=self.W_init,
+            H_init=self.H_init,
+            mask=mask,
+            random_state=self.random_state,
+            verbose=self.verbose,
+            orientation=orientation,
+            n_init=self.n_init,
+            projection=self.projection,
+            mask_mode=self.mask_mode,
+            dtype=self.dtype,
+            precision=self.precision,
+            mesh=self.mesh,
+        )
+
+        self.W_ = result.W
+        self.components_ = result.H
+        self.loss_curve_ = result.losses
+        self.objective_history_ = result.losses  # backward-compat alias
+        self.loss_ = result.losses[-1] if result.losses else np.inf
+        self.n_iter_ = result.n_iter
+        self.reconstruction_err_ = result.losses[-1] if result.losses else np.inf
+        self.converged_ = result.converged
+        self.fit_time_ = result.time_elapsed
+        self.solver_result_ = result
+        return self
+
+    def _normalize_orientation(self, orientation):
+        """Map orientation aliases to canonical form (reference
+        ``_base.py:124-143``); raise ``ValueError`` on unknown values."""
+        try:
+            return _ORIENTATION_ALIASES[orientation]
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"Unknown orientation: {orientation}. "
+                f"Must be one of {list(_ORIENTATION_ALIASES.keys())}"
+            ) from None
+
+    def fit_transform(self, X, y=None):
+        """Fit to ``X`` and return ``W_`` (exactly ``fit(X).W_``; the mask
+        argument is intentionally absent, reference ``_base.py:145-160``)."""
+        self.fit(X)
+        return self.W_
+
+    # ------------------------------------------------------------ transform
+    def transform(self, X, mask=None):
+        """Fold in new data: find W for ``X`` with fitted ``components_`` held
+        fixed, via 50 beta-dir multiplicative updates (reference
+        ``_base.py:162-199``; run seeded and jitted here)."""
+        check_is_fitted(self, ["components_"])
+        X = check_array(X, accept_sparse="csr", dtype=np.float64)
+        X = densify(X)
+        if mask is not None:
+            mask = densify(mask)
+
+        dtype = _resolve_dtype(self.dtype)
+        precision = _resolve_precision(self.precision)
+        X = jnp.asarray(X, dtype=dtype)
+        H = jnp.asarray(self.components_, dtype=dtype)
+        m, k = X.shape[0], self.n_components
+
+        if mask is None:
+            Ym, Ym2 = X, 1.0 - X
+        else:
+            mask = jnp.asarray(mask, dtype=dtype)
+            Ym, Ym2 = X * mask, (1.0 - X) * mask
+
+        seed = 0 if self.random_state is None else int(self.random_state)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x7F01)
+        W0t = jax.random.uniform(key, (k, m), dtype=dtype, minval=0.1, maxval=0.9)
+
+        W = _transform_core(
+            H, Ym, Ym2, W0t, jnp.asarray(1e-8, dtype=dtype), n_iter=50, precision=precision
+        )
+        return np.asarray(W)
+
+    def inverse_transform(self, W):
+        """Reconstruct data-space probabilities ``clip(W @ H, 0, 1)``
+        (reference ``_base.py:201-210``)."""
+        check_is_fitted(self, ["components_"])
+        W = check_array(W, dtype=np.float64)
+        return np.clip(W @ self.components_, 0.0, 1.0)
+
+    # ---------------------------------------------------------------- score
+    def score(self, X, mask=None):
+        """Mean Bernoulli log-likelihood per observed entry of ``X`` under a
+        reconstruction refit via ``transform`` (reference ``_base.py:212-247``,
+        including the refit-from-scratch semantics and parity masking)."""
+        check_is_fitted(self, ["components_"])
+        X = check_array(X, accept_sparse="csr", dtype=np.float64)
+        X = densify(X)
+        X_recon = self.inverse_transform(self.transform(X))
+        eps = 1e-8
+        if mask is None:
+            log_lik = X * np.log(X_recon + eps) + (1 - X) * np.log(1 - X_recon + eps)
+            n_obs = X.size
+        else:
+            mask = densify(mask)
+            X_masked = X * mask
+            log_lik = X_masked * np.log(X_recon + eps) + (1 - X_masked) * np.log(
+                1 - X_recon + eps
+            )
+            n_obs = np.count_nonzero(mask)
+        return float(np.sum(log_lik) / n_obs)
+
+    def perplexity(self, X, mask=None):
+        """``exp(-score(X, mask))`` (reference ``_base.py:249-265``)."""
+        return float(np.exp(-self.score(X, mask)))
+
+
+# Alias for backwards compatibility (reference _base.py:269).
+NBMF = NBMFMM

@@ -1,0 +1,12 @@
+"""Parallelism: vmapped restarts and GSPMD mesh sharding."""
+
+from .restarts import vmapped_solve
+from .sharding import data_sharding, factor_shardings, make_mesh, shard_solver_operands
+
+__all__ = [
+    "vmapped_solve",
+    "make_mesh",
+    "data_sharding",
+    "factor_shardings",
+    "shard_solver_operands",
+]

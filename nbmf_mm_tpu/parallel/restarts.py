@@ -1,0 +1,40 @@
+"""Restart parallelism: ``n_init`` random restarts batched into one solve.
+
+The reference README documents an ``n_init`` parameter (``README.md:134,144``)
+that its code never implements (the constructor has no such argument,
+``_base.py:63-66``).  Here it is a first-class capability: the whole
+``lax.while_loop`` solver is ``vmap``-ed over a leading restart axis, so all
+restarts advance in lockstep inside a single compiled program — on TPU the
+batched sweeps become one batched matmul stream that keeps the MXU busy, and
+no host round-trips happen until every restart has converged.
+
+Correctness under ``vmap`` relies on the solver body's freeze semantics
+(converged lanes select their old carry; see
+:func:`nbmf_mm_tpu.solver.driver._solve_core`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["vmapped_solve"]
+
+
+def vmapped_solve(core, Ym, Ym2, Yc, W0, H0, hypers):
+    """Run ``core`` (the staged single-init solver) over a batch of inits.
+
+    ``W0``/``H0`` carry a leading ``n_init`` axis; data and hyperparameters
+    are broadcast.  Returns ``(best_result, best_index, all_final_losses)``
+    where ``best_result`` matches the single-init output structure for the
+    restart with the lowest final objective.
+    """
+    batched = jax.vmap(
+        core,
+        in_axes=(None, None, None, 0, 0) + (None,) * len(hypers),
+    )
+    results = batched(Ym, Ym2, Yc, W0, H0, *hypers)
+    final_losses = results[4]
+    best = int(jnp.argmin(final_losses))
+    best_result = jax.tree.map(lambda x: x[best], results)
+    return best_result, best, final_losses

@@ -1,0 +1,440 @@
+"""TPU-native NBMF-MM solver driver.
+
+The reference solver (``siddC/nbmf_mm`` ``src/nbmf_mm/_solver.py:61-216``) is a
+Python ``for`` loop over NumPy sweeps with a host-side relative-loss
+convergence check.  Here the entire optimization — sweeps, objective, and the
+early-stopping test — runs on-device inside one compiled
+``jax.lax.while_loop``:
+
+- the carry holds ``(W, H, loss_buffer[max_iter], prev_loss, it, done)`` with
+  static shapes, so the loop compiles once per (shape, max_iter, options) and
+  transfers to host exactly once, after convergence;
+- the loop body *freezes* converged states (selects the old carry when
+  ``done``) instead of exiting, which makes the identical code correct under
+  ``vmap`` — that is what powers ``n_init`` batched restarts
+  (:mod:`nbmf_mm_tpu.parallel.restarts`) and keeps GSPMD sharding legal;
+- the "dir-beta" orientation reuses the beta-dir kernels through the transpose
+  symmetry of the model, exactly like the reference (``_solver.py:113-123``),
+  applied on the host before staging;
+- seeding uses ``jax.random.PRNGKey`` (functional, reproducible per backend)
+  instead of the reference's global ``np.random.seed`` (``_solver.py:102``).
+
+Deviations from the reference (documented per SURVEY.md §7):
+
+- the returned ``time_elapsed`` is the real wall-clock time (the reference
+  hard-codes ``0.0``, ``_solver.py:216``);
+- ``n_init``, ``projection="duchi"``, ``mask_mode="corrected"``, dtype and
+  sharding controls are new capabilities the reference README promises but
+  does not implement.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.updates import map_objective, mm_sweep, precompute_masked_terms
+
+__all__ = ["nbmf_mm_solver", "solve", "SolverResult"]
+
+_ORIENTATIONS = ("beta-dir", "dir-beta")
+
+
+@dataclass
+class SolverResult:
+    """Full solver output (the tuple API of :func:`nbmf_mm_solver` is a view).
+
+    ``W`` is ``(m, k)`` and ``H`` is ``(k, n)`` in *external* notation for the
+    requested orientation.  ``losses`` has length ``n_iter``.
+    """
+
+    W: np.ndarray
+    H: np.ndarray
+    losses: List[float]
+    time_elapsed: float
+    n_iter: int
+    converged: bool
+    # Extras beyond the reference tuple:
+    best_restart: int = 0
+    all_final_losses: Optional[np.ndarray] = None
+    seed: Optional[int] = None
+    extras: dict = field(default_factory=dict)
+
+
+def _resolve_dtype(dtype):
+    if dtype is not None:
+        return jnp.dtype(dtype)
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
+
+
+def _resolve_precision(precision):
+    if precision is None:
+        return jax.lax.Precision.HIGHEST
+    if isinstance(precision, str):
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision.lower()]
+    return precision
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "projection", "precision", "verbose"),
+)
+def _solve_core(
+    Ym,
+    Ym2,
+    Yc,
+    W0,
+    H0,
+    alpha,
+    beta,
+    tol,
+    eps,
+    n_obs,
+    n_real,
+    *,
+    max_iter: int,
+    projection: str,
+    precision,
+    verbose: int,
+):
+    """Run the MM loop to convergence for one initialization.
+
+    Inputs use the internal beta-dir layout: ``W0`` is ``(k, m)`` with unit
+    column sums, ``H0`` is ``(k, n)``.  Returns ``(W, H, losses, n_iter,
+    final_loss)`` with ``losses`` a fixed ``(max_iter,)`` buffer (entries past
+    ``n_iter`` are undefined).
+    """
+    dtype = Ym.dtype
+    losses0 = jnp.zeros((max_iter,), dtype=dtype)
+
+    sweep = partial(
+        mm_sweep,
+        alpha=alpha,
+        beta=beta,
+        n_real=n_real,
+        eps=eps,
+        projection=projection,
+        precision=precision,
+    )
+    objective = partial(
+        map_objective,
+        alpha=alpha,
+        beta=beta,
+        n_obs=n_obs,
+        eps=eps,
+        precision=precision,
+    )
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        W, H, losses, prev_loss, it, done = carry
+        W_new, H_new = sweep(W, H, Ym, Ym2, Yc)
+        loss_t = objective(W_new, H_new, Ym, Yc)
+        if verbose > 0:
+            jax.lax.cond(
+                it % 10 == 0,
+                lambda: jax.debug.print("Iter {it}: Loss = {loss}", it=it, loss=loss_t),
+                lambda: None,
+            )
+        # Relative-change stopping rule, checked from the 2nd iteration on
+        # (reference _solver.py:169-175).  The loss of the stopping iteration
+        # is still recorded, matching len(losses) == n_iter there.
+        rel_change = jnp.abs(prev_loss - loss_t) / jnp.abs(prev_loss)
+        newly_done = jnp.logical_and(it > 0, rel_change < tol)
+        # Freeze converged lanes: under vmap the loop keeps running until all
+        # restarts converge, and `done` lanes must not drift.
+        W_out = jnp.where(done, W, W_new)
+        H_out = jnp.where(done, H, H_new)
+        losses_out = jnp.where(done, losses, losses.at[it].set(loss_t))
+        prev_out = jnp.where(done, prev_loss, loss_t)
+        it_out = jnp.where(done, it, it + 1)
+        done_out = jnp.logical_or(done, newly_done)
+        return (W_out, H_out, losses_out, prev_out, it_out, done_out)
+
+    init = (
+        W0,
+        H0,
+        losses0,
+        jnp.array(jnp.inf, dtype=dtype),
+        jnp.array(0, dtype=jnp.int32),
+        jnp.array(False),
+    )
+    W, H, losses, final_loss, n_iter, done = jax.lax.while_loop(cond, body, init)
+    return W, H, losses, n_iter, final_loss, done
+
+
+def _random_uniform_inits(key, n_init, m, n, k, dtype):
+    """Reference-style U(0.1, 0.9) initialization (``_solver.py:126-129``),
+    batched over ``n_init`` restarts."""
+    kw, kh = jax.random.split(key)
+    W0 = jax.random.uniform(kw, (n_init, m, k), dtype=dtype, minval=0.1, maxval=0.9)
+    H0 = jax.random.uniform(kh, (n_init, k, n), dtype=dtype, minval=0.1, maxval=0.9)
+    return W0, H0
+
+
+def _final_simplex_safeguard(W_final, H_final, orientation):
+    """Host-side renormalization safeguard replicating ``_solver.py:186-213``:
+    if the simplex factor drifted more than 1e-9 from unit sums, renormalize
+    (guarding degenerate all-zero slices)."""
+    tiny, tol = 1e-12, 1e-9
+    if orientation == "beta-dir":
+        if W_final.size:
+            row_sums = W_final.sum(axis=1, keepdims=True)
+            dev = float(np.max(np.abs(row_sums - 1.0)))
+            if np.isfinite(dev) and dev > tol:
+                safe = row_sums > tiny
+                if np.any(safe):
+                    W_final = np.where(safe, W_final / np.where(safe, row_sums, 1.0), W_final)
+    else:
+        if H_final.size:
+            col_sums = H_final.sum(axis=0, keepdims=True)
+            dev = float(np.max(np.abs(col_sums - 1.0)))
+            if np.isfinite(dev) and dev > tol:
+                safe = col_sums > tiny
+                if np.any(safe):
+                    H_final = np.where(safe, H_final / np.where(safe, col_sums, 1.0), H_final)
+    return W_final, H_final
+
+
+def _densify(a):
+    return a.toarray() if hasattr(a, "toarray") else a
+
+
+def solve(
+    Y,
+    n_components: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    alpha: float = 1.2,
+    beta: float = 1.2,
+    W_init=None,
+    H_init=None,
+    mask=None,
+    random_state: Optional[int] = None,
+    verbose: int = 0,
+    orientation: str = "beta-dir",
+    eps: float = 1e-8,
+    *,
+    n_init: int = 1,
+    projection: str = "normalize",
+    mask_mode: str = "parity",
+    dtype=None,
+    precision=None,
+    mesh=None,
+    mesh_axes: Tuple[str, str] = ("rows", "cols"),
+) -> SolverResult:
+    """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
+
+    Semantics mirror the reference ``nbmf_mm_solver`` (``_solver.py:61-216``)
+    with the documented TPU-native extensions.  ``n_init > 1`` runs batched
+    random restarts via :mod:`nbmf_mm_tpu.parallel.restarts` and returns the
+    restart with the lowest final objective.  Passing ``mesh`` shards the data
+    and factors over the device mesh with GSPMD (see
+    :mod:`nbmf_mm_tpu.parallel.sharding`).
+    """
+    if orientation not in _ORIENTATIONS:
+        raise ValueError(
+            f"orientation must be one of {_ORIENTATIONS}, got {orientation!r}"
+        )
+    if projection not in ("normalize", "duchi"):
+        raise ValueError(f"projection must be 'normalize' or 'duchi', got {projection!r}")
+    if n_init < 1:
+        raise ValueError(f"n_init must be >= 1, got {n_init}")
+
+    t_start = time.time()
+    dtype = _resolve_dtype(dtype)
+    precision = _resolve_precision(precision)
+
+    Y = np.asarray(_densify(Y), dtype=dtype)
+    if mask is not None:
+        mask = np.asarray(_densify(mask), dtype=dtype)
+
+    # dir-beta == beta-dir on Y.T with factors swapped (reference
+    # _solver.py:113-123); both init matrices must be given to be swapped.
+    transposed = orientation == "dir-beta"
+    if transposed:
+        Y = Y.T
+        if mask is not None:
+            mask = mask.T
+        if W_init is not None and H_init is not None:
+            W_init, H_init = np.asarray(H_init).T, np.asarray(W_init).T
+
+    m, n = Y.shape
+    k = int(n_components)
+
+    # ------------------------------------------------------------------ RNG
+    if random_state is None:
+        seed = int(np.random.SeedSequence().entropy % (2**63))
+    else:
+        seed = int(random_state)
+    key = jax.random.PRNGKey(seed)
+
+    custom_init = W_init is not None or H_init is not None
+    if custom_init and n_init > 1:
+        raise ValueError("n_init > 1 is incompatible with explicit W_init/H_init")
+
+    if custom_init:
+        kw, kh = jax.random.split(key)
+        if W_init is None:
+            W0_ext = jax.random.uniform(kw, (1, m, k), dtype=dtype, minval=0.1, maxval=0.9)
+        else:
+            W0_ext = jnp.asarray(np.asarray(W_init, dtype=dtype))[None]
+        if H_init is None:
+            H0 = jax.random.uniform(kh, (1, k, n), dtype=dtype, minval=0.1, maxval=0.9)
+        else:
+            H0 = jnp.asarray(np.asarray(H_init, dtype=dtype))[None]
+    else:
+        W0_ext, H0 = _random_uniform_inits(key, n_init, m, n, k, dtype)
+
+    if W0_ext.shape[1:] != (m, k):
+        raise ValueError(f"W_init must have shape {(m, k)}, got {W0_ext.shape[1:]}")
+    if H0.shape[1:] != (k, n):
+        raise ValueError(f"H_init must have shape {(k, n)}, got {H0.shape[1:]}")
+
+    # Internal layout: W is (k, m) with unit column sums (_solver.py:132-136).
+    W0 = jnp.swapaxes(W0_ext, 1, 2)
+    W0 = W0 / W0.sum(axis=1, keepdims=True)
+
+    Ym, Ym2, Yc = precompute_masked_terms(jnp.asarray(Y), None if mask is None else jnp.asarray(mask), mask_mode)
+    if mask is None:
+        n_obs = jnp.array(Y.size, dtype=dtype)
+    else:
+        n_obs = jnp.count_nonzero(mask).astype(dtype)
+    n_real = jnp.array(n, dtype=dtype)
+
+    # Optional GSPMD placement over a device mesh.
+    if mesh is not None:
+        from ..parallel.sharding import shard_solver_operands
+
+        Ym, Ym2, Yc, W0, H0 = shard_solver_operands(
+            Ym, Ym2, Yc, W0, H0, mesh=mesh, mesh_axes=mesh_axes
+        )
+
+    if max_iter <= 0:
+        # Graceful degenerate case (the reference raises NameError here):
+        # return the (normalized) initial factors untouched.
+        W_final = np.asarray(W0[0]).T
+        H_final = np.asarray(H0[0])
+        if transposed:
+            W_final, H_final = H_final.T, W_final.T
+        return SolverResult(
+            W=W_final, H=H_final, losses=[], time_elapsed=time.time() - t_start,
+            n_iter=0, converged=False, seed=seed,
+        )
+
+    core = partial(
+        _solve_core,
+        max_iter=max_iter,
+        projection=projection,
+        precision=precision,
+        verbose=verbose if n_init == 1 else 0,
+    )
+    hypers = (
+        jnp.array(alpha, dtype=dtype),
+        jnp.array(beta, dtype=dtype),
+        jnp.array(tol, dtype=dtype),
+        jnp.array(eps, dtype=dtype),
+        n_obs,
+        n_real,
+    )
+
+    if n_init == 1:
+        W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev = core(
+            Ym, Ym2, Yc, W0[0], H0[0], *hypers
+        )
+        best = 0
+        all_final = None
+    else:
+        from ..parallel.restarts import vmapped_solve
+
+        (W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev), best, all_final = (
+            vmapped_solve(core, Ym, Ym2, Yc, W0, H0, hypers)
+        )
+
+    # Single host sync: pull results after the fully on-device loop.
+    W_int = np.asarray(W_dev)
+    H_final = np.asarray(H_dev)
+    losses_buf = np.asarray(losses_dev)
+    n_iter = int(n_iter_dev)
+    converged = bool(done_dev)
+
+    W_final = W_int.T  # back to external (m, k)
+    if transposed:
+        W_final, H_final = H_final.T, W_final.T
+
+    W_final, H_final = _final_simplex_safeguard(
+        W_final, H_final, "dir-beta" if transposed else "beta-dir"
+    )
+
+    losses = [float(x) for x in losses_buf[:n_iter]]
+    if verbose > 0 and converged and n_iter < max_iter:
+        print(f"Converged at iteration {n_iter - 1}")
+
+    return SolverResult(
+        W=W_final,
+        H=H_final,
+        losses=losses,
+        time_elapsed=time.time() - t_start,
+        n_iter=n_iter,
+        converged=converged,
+        best_restart=int(best),
+        all_final_losses=None if all_final is None else np.asarray(all_final),
+        seed=seed,
+    )
+
+
+def nbmf_mm_solver(
+    Y,
+    n_components: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    alpha: float = 1.2,
+    beta: float = 1.2,
+    W_init=None,
+    H_init=None,
+    mask=None,
+    random_state: Optional[int] = None,
+    verbose: int = 0,
+    orientation: str = "beta-dir",
+    eps: float = 1e-8,
+    **kwargs,
+):
+    """Drop-in replacement for the reference ``nbmf_mm_solver``
+    (``src/nbmf_mm/_solver.py:61-216``; exported publicly,
+    ``src/nbmf_mm/__init__.py:11,17``).
+
+    Returns ``(W, H, losses, time_elapsed, n_iter)``.  Unlike the reference,
+    ``time_elapsed`` is the real wall time rather than a hard-coded ``0.0``.
+    Extra keyword arguments are forwarded to :func:`solve` (``n_init``,
+    ``projection``, ``mask_mode``, ``dtype``, ``precision``, ``mesh``, ...).
+    """
+    res = solve(
+        Y,
+        n_components,
+        max_iter=max_iter,
+        tol=tol,
+        alpha=alpha,
+        beta=beta,
+        W_init=W_init,
+        H_init=H_init,
+        mask=mask,
+        random_state=random_state,
+        verbose=verbose,
+        orientation=orientation,
+        eps=eps,
+        **kwargs,
+    )
+    return res.W, res.H, res.losses, res.time_elapsed, res.n_iter

@@ -1,0 +1,27 @@
+"""Utilities: validation, synthetic data, checkpointing, profiling."""
+
+from .checkpoint import (
+    load_checkpoint,
+    load_model,
+    resume_fit,
+    save_checkpoint,
+    save_model,
+)
+from .profiling import device_memory_stats, sweep_timer, trace
+from .synth import generate_synthetic_binary_data
+from .validation import check_array, check_is_fitted, densify
+
+__all__ = [
+    "check_is_fitted",
+    "check_array",
+    "densify",
+    "generate_synthetic_binary_data",
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_model",
+    "load_model",
+    "resume_fit",
+    "trace",
+    "sweep_timer",
+    "device_memory_stats",
+]

@@ -1,0 +1,72 @@
+"""GSPMD mesh sharding: the solver must produce the same factorization when
+its operands are sharded over a device mesh (8 virtual CPU devices, set up in
+conftest.py), with XLA inserting the collectives (SURVEY.md §2.4/§5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from nbmf_mm_tpu import NBMF, solve
+from nbmf_mm_tpu.parallel.sharding import data_sharding, factor_shardings, make_mesh
+
+
+def _toy(m=64, n=48, p=0.3, seed=0):
+    return (np.random.default_rng(seed).random((m, n)) < p).astype(float)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(jax.devices()[:8], shape=(4, 2))
+
+
+def test_make_mesh_shapes(mesh):
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("rows", "cols")
+
+
+def test_sharded_solve_matches_unsharded(mesh):
+    X = _toy()
+    plain = solve(X, 4, max_iter=60, random_state=0)
+    sharded = solve(X, 4, max_iter=60, random_state=0, mesh=mesh)
+    assert sharded.n_iter == plain.n_iter
+    np.testing.assert_allclose(sharded.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sharded.H, plain.H, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sharded.losses, plain.losses, rtol=1e-10)
+
+
+def test_sharded_masked_and_monotone(mesh):
+    X = _toy(seed=2)
+    mask = (np.random.default_rng(3).random(X.shape) < 0.85).astype(float)
+    res = solve(X, 3, max_iter=50, random_state=1, mesh=mesh, mask=mask)
+    assert np.all(np.diff(res.losses) <= 1e-12)
+
+
+def test_sharded_estimator(mesh):
+    X = _toy(seed=4)
+    m = NBMF(n_components=4, max_iter=40, random_state=0, mesh=mesh).fit(X)
+    np.testing.assert_allclose(m.W_.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_sharded_n_init(mesh):
+    X = _toy(seed=5)
+    res = solve(X, 3, max_iter=40, random_state=0, n_init=4, mesh=mesh)
+    plain = solve(X, 3, max_iter=40, random_state=0, n_init=4)
+    np.testing.assert_allclose(res.W, plain.W, rtol=1e-10, atol=1e-12)
+
+
+def test_uneven_shapes_shard(mesh):
+    # Shapes not divisible by the mesh: GSPMD pads internally; results match.
+    X = _toy(m=37, n=23, seed=6)
+    plain = solve(X, 3, max_iter=30, random_state=0)
+    sharded = solve(X, 3, max_iter=30, random_state=0, mesh=mesh)
+    np.testing.assert_allclose(sharded.W, plain.W, rtol=1e-10, atol=1e-12)
+
+
+def test_shardings_specs(mesh):
+    dsh = data_sharding(mesh)
+    wsh, hsh = factor_shardings(mesh, batched=True)
+    assert dsh.spec == jax.sharding.PartitionSpec("rows", "cols")
+    assert wsh.spec == jax.sharding.PartitionSpec(None, None, "rows")
+    assert hsh.spec == jax.sharding.PartitionSpec(None, None, "cols")
