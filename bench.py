@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: MM sweep throughput at M=N=10^4, K=128 (f32) on one
-TPU chip, versus the reference's NumPy/BLAS CPU implementation (f64, as the
+"""Headline benchmark: MM sweep throughput at M=N=10^4, K=128 on one TPU
+chip, versus the reference's NumPy/BLAS CPU implementation (f64, as the
 reference's sklearn validation forces — `_base.py:83`).
 
 Prints ONE JSON line:
@@ -10,11 +10,18 @@ The measured unit of work is one full solver iteration — H update, W update,
 objective, convergence test — executed inside the compiled `lax.while_loop`
 (tol=0 so no early exit), i.e. exactly what `NBMF.fit` runs per iteration.
 
-Baseline: a from-scratch NumPy expression of the same sweep+loss math, probed
-at 2500x2500 and scaled linearly to 10^4x10^4 (conservative: BLAS gets
-relatively *slower* at full size — measured 45.75 s/sweep full vs 33.6 s/sweep
-implied by the probe on the dev host).  Set NBMF_BENCH_FULL_BASELINE=1 to
-measure the full-size baseline directly (~1 min).
+The headline `value` is the fused-Pallas f32 path (the library's default on
+TPU).  Supplementary keys report the XLA path and the bf16-data Pallas path
+(bf16 storage is lossless for binary data; factors/accumulation stay f32).
+
+Baseline: a from-scratch NumPy expression of the same sweep+loss math (f64),
+measured at full size on this host (one sweep, ~45 s on the single-core dev
+host).  Set NBMF_BENCH_PROBE_BASELINE=1 to use a fast 2500x2500 probe scaled
+linearly instead (optimistic for NumPy, i.e. conservative for the ratio).
+
+Timing note: device completion is enforced by pulling a scalar result to the
+host (float(...)) — `block_until_ready` alone under-reports on the axon
+TPU backend.
 """
 
 import json
@@ -28,9 +35,10 @@ M = N = int(os.environ.get("NBMF_BENCH_MN", 10000))
 K = int(os.environ.get("NBMF_BENCH_K", 128))
 SWEEPS = int(os.environ.get("NBMF_BENCH_SWEEPS", 50))
 PROBE = 2500
+QUICK = os.environ.get("NBMF_BENCH_QUICK") == "1"
 
 
-def numpy_baseline_sweep_seconds(full: bool = False) -> float:
+def numpy_baseline_sweep_seconds(full: bool = True) -> float:
     """Reference-equivalent NumPy sweep+loss (f64), seconds per sweep at MxN."""
     eps, a, b = 1e-8, 1.2, 1.2
     size = M if full else PROBE
@@ -66,14 +74,36 @@ def numpy_baseline_sweep_seconds(full: bool = False) -> float:
     return dt
 
 
+def _time_variant(fn, args, kw):
+    """Compile, then min-of-3 steady-state timing with forced host sync.
+
+    Returns (sweeps_per_sec, losses) and validates MM descent.
+    """
+    out = fn(*args, **kw)
+    float(out[4])  # materialize => device completed
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        float(out[4])
+        times.append(time.perf_counter() - t0)
+    losses = np.asarray(out[2], dtype=np.float64)
+    assert int(out[3]) == SWEEPS
+    assert np.all(np.isfinite(losses)), "non-finite losses in bench run"
+    assert np.all(np.diff(losses) <= 1e-4), "MM descent violated in bench run"
+    return SWEEPS / min(times), losses
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
     from nbmf_mm_tpu.ops.updates import precompute_masked_terms
-    from nbmf_mm_tpu.solver.driver import _solve_core
+    from nbmf_mm_tpu.solver.driver import _solve_core, _solve_core_pallas
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     rng = np.random.default_rng(0)
     Y = jnp.asarray((rng.random((M, N)) < 0.3), dtype=jnp.float32)
     W0 = jnp.asarray(rng.uniform(0.1, 0.9, (K, M)), dtype=jnp.float32)
@@ -81,36 +111,52 @@ def main():
     H0 = jnp.asarray(rng.uniform(0.1, 0.9, (K, N)), dtype=jnp.float32)
     Ym, Ym2, Yc = precompute_masked_terms(Y, None)
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-    args = (
-        Ym, Ym2, Yc, W0, H0,
-        f32(1.2), f32(1.2), f32(0.0), f32(1e-8), f32(M * N), f32(N),
+
+    results = {}
+
+    if on_tpu:
+        Ymp, Ym2p, Ycp, W0p, H0p, _ = ps.pad_operands(
+            Ym, Ym2, Yc, W0, H0, masked=False
+        )
+        pargs = (Ym2p, Ycp, W0p, H0p, f32(1.2), f32(1.2), f32(0.0), f32(M * N))
+        pkw = dict(
+            max_iter=SWEEPS, projection="normalize", verbose=0, eps=1e-8,
+            m_real=M, n_real=N, block_m=ps.DEFAULT_BLOCK, block_n=ps.DEFAULT_BLOCK,
+        )
+        results["pallas_f32"], losses = _time_variant(
+            _solve_core_pallas, (Ymp,) + pargs, pkw
+        )
+        if not QUICK:
+            results["pallas_bf16"], _ = _time_variant(
+                _solve_core_pallas, (Ymp.astype(jnp.bfloat16),) + pargs, pkw
+            )
+
+    if not on_tpu or not QUICK:
+        jargs = (
+            Ym, Ym2, Yc, W0, H0,
+            f32(1.2), f32(1.2), f32(0.0), f32(1e-8), f32(M * N), f32(N),
+        )
+        jkw = dict(max_iter=SWEEPS, projection="normalize",
+                   precision=jax.lax.Precision.HIGHEST, verbose=0)
+        results["xla_f32"], xla_losses = _time_variant(_solve_core, jargs, jkw)
+        if not on_tpu:
+            losses = xla_losses
+
+    headline = results.get("pallas_f32", results.get("xla_f32"))
+    base_dt = numpy_baseline_sweep_seconds(
+        full=os.environ.get("NBMF_BENCH_PROBE_BASELINE") != "1"
     )
-    kw = dict(max_iter=SWEEPS, projection="normalize",
-              precision=jax.lax.Precision.HIGHEST, verbose=0)
-
-    out = _solve_core(*args, **kw)  # compile + warm up
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = _solve_core(*args, **kw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    losses = np.asarray(out[2])
-    assert int(out[3]) == SWEEPS
-    assert np.all(np.isfinite(losses)), "non-finite losses in bench run"
-    assert np.all(np.diff(losses) <= 1e-5), "MM descent violated in bench run"
-
-    sweeps_per_sec = SWEEPS / dt
-    base_dt = numpy_baseline_sweep_seconds(os.environ.get("NBMF_BENCH_FULL_BASELINE") == "1")
     baseline_sweeps_per_sec = 1.0 / base_dt
 
     print(json.dumps({
         "metric": f"mm_sweeps_per_sec_M{M}_N{N}_K{K}_f32",
-        "value": round(sweeps_per_sec, 3),
+        "value": round(headline, 3),
         "unit": "sweeps/s",
-        "vs_baseline": round(sweeps_per_sec / baseline_sweeps_per_sec, 2),
+        "vs_baseline": round(headline / baseline_sweeps_per_sec, 2),
         "baseline_sweeps_per_sec": round(baseline_sweeps_per_sec, 5),
         "device": str(dev),
         "final_loss": float(losses[-1]),
+        **{k: round(v, 3) for k, v in results.items()},
     }))
 
 

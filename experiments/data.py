@@ -1,0 +1,94 @@
+"""Dataset and split loading for the Magron & Fevotte (2022) reproduction.
+
+Mirrors the reference pipeline's data layer
+(``examples/reproduce_magron2022.py:25-47``) with two differences:
+
+- ``.rda`` files are read by our built-in RDX2 reader
+  (:mod:`nbmf_mm_tpu.utils.rdata`) instead of pyreadr (unavailable here);
+- the lastfm/paleo split files are missing from the reference snapshot
+  (``.MISSING_LARGE_BLOBS``), so for those we regenerate a seeded 70/15/15
+  per-entry split (the animals split file's observed fractions), and we use
+  the committed ``animals_split.npz`` verbatim when present.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+
+from nbmf_mm_tpu.utils.rdata import load_r_matrix
+
+REFERENCE_ROOT = Path(os.environ.get("NBMF_REFERENCE_ROOT", "/root/reference"))
+DATA_DIR = Path(os.environ.get("NBMF_DATA_DIR", REFERENCE_ROOT / "data"))
+SPLIT_DIR = Path(os.environ.get("NBMF_SPLIT_DIR", DATA_DIR / "magron2022"))
+MAGRON_OUTPUTS = Path(
+    os.environ.get("NBMF_MAGRON_OUTPUTS", REFERENCE_ROOT / "outputs" / "magron2022")
+)
+
+DATASETS = ("animals", "lastfm", "paleo")
+_SPLIT_FRACTIONS = (0.70, 0.15, 0.15)  # train / val / test, by entry
+
+
+def load_dataset(name: str) -> np.ndarray:
+    """Load one of the paper's binary matrices from its ``.rda`` file."""
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")
+    Y, _ = load_r_matrix(DATA_DIR / f"{name}.rda")
+    return Y
+
+
+def generate_entry_split(
+    shape: Tuple[int, int], seed: int = 12345
+) -> Dict[str, np.ndarray]:
+    """Seeded 70/15/15 per-entry split (disjoint binary masks)."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(shape)
+    train = (u < _SPLIT_FRACTIONS[0]).astype(np.float64)
+    val = ((u >= _SPLIT_FRACTIONS[0]) & (u < _SPLIT_FRACTIONS[0] + _SPLIT_FRACTIONS[1])).astype(
+        np.float64
+    )
+    test = (u >= _SPLIT_FRACTIONS[0] + _SPLIT_FRACTIONS[1]).astype(np.float64)
+    return {"train_mask": train, "val_mask": val, "test_mask": test}
+
+
+def load_splits(name: str, shape: Tuple[int, int]) -> Dict[str, np.ndarray]:
+    """Load the committed split masks when available; regenerate otherwise."""
+    path = SPLIT_DIR / f"{name}_split.npz"
+    if path.exists():
+        with np.load(path) as z:
+            return {k: z[k].astype(np.float64) for k in ("train_mask", "val_mask", "test_mask")}
+    return generate_entry_split(shape)
+
+
+def load_dataset_and_splits(name: str):
+    Y = load_dataset(name)
+    s = load_splits(name, Y.shape)
+    return Y, s["train_mask"], s["val_mask"], s["test_mask"]
+
+
+def compute_perplexity(Y, Y_hat, mask=None, eps: float = 1e-8) -> float:
+    """Masked Bernoulli perplexity ``exp(-mean observed log-lik)`` — the
+    reproduction pipeline's metric (``reproduce_magron2022.py:40-47``)."""
+    if mask is None:
+        mask = np.ones_like(Y)
+    log_lik = Y * np.log(Y_hat + eps) + (1 - Y) * np.log(1 - Y_hat + eps)
+    return float(np.exp(-np.sum(mask * log_lik) / np.count_nonzero(mask)))
+
+
+def magron_best_val_logpplx(name: str, k: int):
+    """Best stored validation log-perplexity from the original paper author's
+    artifacts for rank ``k`` (``outputs/magron2022/<ds>/NBMF-MM_val.npz``:
+    val_pplx has shape (K-grid, alpha-grid, beta-grid) in *per-entry NLL*
+    units — convert with exp() to compare with our perplexities)."""
+    path = MAGRON_OUTPUTS / name / "NBMF-MM_val.npz"
+    if not path.exists():
+        return None
+    with np.load(path, allow_pickle=True) as z:
+        val = z["val_pplx"]
+        k_grid = list(np.asarray(z["list_hyper"][0]).ravel())
+    if k not in k_grid:
+        return None
+    return float(np.min(val[k_grid.index(k)]))

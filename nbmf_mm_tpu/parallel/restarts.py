@@ -21,19 +21,19 @@ import jax.numpy as jnp
 __all__ = ["vmapped_solve"]
 
 
-def vmapped_solve(core, Ym, Ym2, Yc, W0, H0, hypers):
+def vmapped_solve(core, data, inits, hypers):
     """Run ``core`` (the staged single-init solver) over a batch of inits.
 
-    ``W0``/``H0`` carry a leading ``n_init`` axis; data and hyperparameters
-    are broadcast.  Returns ``(best_result, best_index, all_final_losses)``
-    where ``best_result`` matches the single-init output structure for the
-    restart with the lowest final objective.
+    ``inits = (W0, H0)`` carry a leading ``n_init`` axis; ``data`` arrays and
+    ``hypers`` scalars are broadcast.  Returns ``(best_result, best_index,
+    all_final_losses)`` where ``best_result`` matches the single-init output
+    structure for the restart with the lowest final objective.
     """
     batched = jax.vmap(
         core,
-        in_axes=(None, None, None, 0, 0) + (None,) * len(hypers),
+        in_axes=(None,) * len(data) + (0, 0) + (None,) * len(hypers),
     )
-    results = batched(Ym, Ym2, Yc, W0, H0, *hypers)
+    results = batched(*data, *inits, *hypers)
     final_losses = results[4]
     best = int(jnp.argmin(final_losses))
     best_result = jax.tree.map(lambda x: x[best], results)

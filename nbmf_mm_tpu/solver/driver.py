@@ -85,55 +85,15 @@ def _resolve_precision(precision):
     return precision
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_iter", "projection", "precision", "verbose"),
-)
-def _solve_core(
-    Ym,
-    Ym2,
-    Yc,
-    W0,
-    H0,
-    alpha,
-    beta,
-    tol,
-    eps,
-    n_obs,
-    n_real,
-    *,
-    max_iter: int,
-    projection: str,
-    precision,
-    verbose: int,
-):
-    """Run the MM loop to convergence for one initialization.
+def _mm_loop(sweep, objective, W0, H0, tol, *, max_iter: int, verbose: int):
+    """The shared compiled optimization loop: run ``sweep``/``objective`` to
+    convergence inside one ``lax.while_loop`` with vmap-safe freeze semantics.
 
-    Inputs use the internal beta-dir layout: ``W0`` is ``(k, m)`` with unit
-    column sums, ``H0`` is ``(k, n)``.  Returns ``(W, H, losses, n_iter,
-    final_loss)`` with ``losses`` a fixed ``(max_iter,)`` buffer (entries past
-    ``n_iter`` are undefined).
+    Returns ``(W, H, losses, n_iter, final_loss, done)`` with ``losses`` a
+    fixed ``(max_iter,)`` buffer (entries past ``n_iter`` are undefined).
     """
-    dtype = Ym.dtype
+    dtype = W0.dtype
     losses0 = jnp.zeros((max_iter,), dtype=dtype)
-
-    sweep = partial(
-        mm_sweep,
-        alpha=alpha,
-        beta=beta,
-        n_real=n_real,
-        eps=eps,
-        projection=projection,
-        precision=precision,
-    )
-    objective = partial(
-        map_objective,
-        alpha=alpha,
-        beta=beta,
-        n_obs=n_obs,
-        eps=eps,
-        precision=precision,
-    )
 
     def cond(carry):
         _, _, _, _, it, done = carry
@@ -141,8 +101,8 @@ def _solve_core(
 
     def body(carry):
         W, H, losses, prev_loss, it, done = carry
-        W_new, H_new = sweep(W, H, Ym, Ym2, Yc)
-        loss_t = objective(W_new, H_new, Ym, Yc)
+        W_new, H_new = sweep(W, H)
+        loss_t = objective(W_new, H_new)
         if verbose > 0:
             jax.lax.cond(
                 it % 10 == 0,
@@ -174,6 +134,140 @@ def _solve_core(
     )
     W, H, losses, final_loss, n_iter, done = jax.lax.while_loop(cond, body, init)
     return W, H, losses, n_iter, final_loss, done
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iter", "projection", "precision", "verbose"),
+)
+def _solve_core(
+    Ym,
+    Ym2,
+    Yc,
+    W0,
+    H0,
+    alpha,
+    beta,
+    tol,
+    eps,
+    n_obs,
+    n_real,
+    *,
+    max_iter: int,
+    projection: str,
+    precision,
+    verbose: int,
+):
+    """XLA-path MM loop for one initialization (internal beta-dir layout:
+    ``W0`` is ``(k, m)`` with unit column sums, ``H0`` is ``(k, n)``)."""
+    sweep = lambda W, H: mm_sweep(
+        W, H, Ym, Ym2, Yc,
+        alpha=alpha, beta=beta, n_real=n_real, eps=eps,
+        projection=projection, precision=precision,
+    )
+    objective = lambda W, H: map_objective(
+        W, H, Ym, Yc,
+        alpha=alpha, beta=beta, n_obs=n_obs, eps=eps, precision=precision,
+    )
+    return _mm_loop(sweep, objective, W0, H0, tol, max_iter=max_iter, verbose=verbose)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "projection",
+        "verbose",
+        "eps",
+        "m_real",
+        "n_real",
+        "block_m",
+        "block_n",
+        "interpret",
+    ),
+)
+def _solve_core_pallas(
+    Ymp,
+    Ym2p,
+    Ycp,
+    W0p,
+    H0p,
+    alpha,
+    beta,
+    tol,
+    n_obs,
+    *,
+    max_iter: int,
+    projection: str,
+    verbose: int,
+    eps: float,
+    m_real: int,
+    n_real: int,
+    block_m: int,
+    block_n: int,
+    interpret: bool = False,
+):
+    """Pallas-path MM loop on zero-padded operands (see
+    :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
+
+    Each sweep is 3 fused single-read passes over the (Mp, Np) data; the
+    small (k, .) elementwise updates between passes stay in XLA.  Results
+    come back padded; the caller slices to ``(m_real, n_real)``.
+    """
+    from ..ops import pallas_sweep as ps
+    from ..ops.projection import project_columns_simplex_duchi
+
+    kw = dict(block_m=block_m, block_n=block_n, interpret=interpret)
+
+    def sweep(W, H):
+        Num, Den = ps.h_terms(W, H, Ymp, Ycp, eps=eps, **kw)
+        num = H * Num + (alpha - 1.0)
+        den = (1.0 - H) * Den + (beta - 1.0)
+        H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
+        H_new = ps.apply_col_validity(H_new, n_real)
+        T = ps.w_terms(W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps, **kw)
+        W_raw = W * T
+        if projection == "normalize":
+            W_new = W_raw / n_real
+            col_sums = W_new.sum(axis=0, keepdims=True)
+            W_new = W_new / jnp.where(col_sums > 0, col_sums, 1.0)
+        else:  # duchi: re-zero the pad columns the projection would fill
+            W_new = ps.apply_col_validity(
+                project_columns_simplex_duchi(W_raw / n_real), m_real
+            )
+        return W_new, H_new
+
+    def objective(W, H):
+        ll = ps.loglik_sum(
+            W, H, Ymp, Ycp, m_real=m_real, n_real=n_real, eps=eps, **kw
+        )
+        H_real = H[:, :n_real]
+        prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H_real + eps))
+        prior_b = (beta - 1.0) * jnp.sum(jnp.log(1.0 - H_real + eps))
+        return -(ll + prior_a + prior_b) / n_obs
+
+    return _mm_loop(sweep, objective, W0p, H0p, tol, max_iter=max_iter, verbose=verbose)
+
+
+def _resolve_backend(backend: str, dtype, mesh, interpret: bool) -> bool:
+    """Decide whether to use the fused Pallas sweep path.
+
+    ``auto`` selects Pallas on TPU-like backends with <= f32 dtypes and no
+    mesh (the GSPMD path uses the XLA kernels; a shard_map'd Pallas path is
+    a future optimization).  ``pallas`` forces it (with ``pallas_interpret``
+    it runs anywhere, used by the parity tests on CPU).
+    """
+    if backend == "jnp":
+        return False
+    if backend == "pallas":
+        if mesh is not None:
+            raise ValueError("backend='pallas' does not support mesh sharding yet")
+        return True
+    if backend != "auto":
+        raise ValueError(f"backend must be 'auto', 'jnp' or 'pallas', got {backend!r}")
+    if mesh is not None or jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _random_uniform_inits(key, n_init, m, n, k, dtype):
@@ -235,6 +329,10 @@ def solve(
     precision=None,
     mesh=None,
     mesh_axes: Tuple[str, str] = ("rows", "cols"),
+    backend: str = "auto",
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    pallas_interpret: bool = False,
 ) -> SolverResult:
     """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
 
@@ -257,6 +355,17 @@ def solve(
     t_start = time.time()
     dtype = _resolve_dtype(dtype)
     precision = _resolve_precision(precision)
+
+    # bfloat16 mode: the factors, updates and losses stay f32; only the big
+    # (m, n) data matrices are stored bf16 (lossless for binary data) and the
+    # Pallas kernels run their matmuls at full bf16 MXU rate with f32
+    # accumulation.  On the XLA path this is emulated with DEFAULT matmul
+    # precision (bf16 MXU passes over f32 data).
+    data_dtype = None
+    if dtype == jnp.dtype(jnp.bfloat16):
+        data_dtype = jnp.bfloat16
+        dtype = jnp.dtype(jnp.float32)
+        precision = jax.lax.Precision.DEFAULT
 
     Y = np.asarray(_densify(Y), dtype=dtype)
     if mask is not None:
@@ -335,25 +444,62 @@ def solve(
             n_iter=0, converged=False, seed=seed,
         )
 
-    core = partial(
-        _solve_core,
-        max_iter=max_iter,
-        projection=projection,
-        precision=precision,
-        verbose=verbose if n_init == 1 else 0,
-    )
-    hypers = (
-        jnp.array(alpha, dtype=dtype),
-        jnp.array(beta, dtype=dtype),
-        jnp.array(tol, dtype=dtype),
-        jnp.array(eps, dtype=dtype),
-        n_obs,
-        n_real,
-    )
+    use_pallas = _resolve_backend(backend, dtype, mesh, pallas_interpret)
+    if use_pallas:
+        from ..ops import pallas_sweep as ps
+
+        bm = block_m or ps.DEFAULT_BLOCK
+        bn = block_n or ps.DEFAULT_BLOCK
+        Ymp, Ym2p, Ycp, W0p, H0p, _ = ps.pad_operands(
+            Ym, Ym2, Yc, W0, H0,
+            masked=mask is not None, mask_mode=mask_mode,
+            block_m=bm, block_n=bn,
+        )
+        if data_dtype is not None:
+            cast = lambda A: None if A is None else A.astype(data_dtype)
+            Ymp, Ym2p, Ycp = cast(Ymp), cast(Ym2p), cast(Ycp)
+        core = partial(
+            _solve_core_pallas,
+            max_iter=max_iter,
+            projection=projection,
+            verbose=verbose if n_init == 1 else 0,
+            eps=float(eps),
+            m_real=m,
+            n_real=n,
+            block_m=bm,
+            block_n=bn,
+            interpret=pallas_interpret,
+        )
+        data = (Ymp, Ym2p, Ycp)
+        inits = (W0p, H0p)
+        hypers = (
+            jnp.array(alpha, dtype=dtype),
+            jnp.array(beta, dtype=dtype),
+            jnp.array(tol, dtype=dtype),
+            n_obs,
+        )
+    else:
+        core = partial(
+            _solve_core,
+            max_iter=max_iter,
+            projection=projection,
+            precision=precision,
+            verbose=verbose if n_init == 1 else 0,
+        )
+        data = (Ym, Ym2, Yc)
+        inits = (W0, H0)
+        hypers = (
+            jnp.array(alpha, dtype=dtype),
+            jnp.array(beta, dtype=dtype),
+            jnp.array(tol, dtype=dtype),
+            jnp.array(eps, dtype=dtype),
+            n_obs,
+            n_real,
+        )
 
     if n_init == 1:
         W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev = core(
-            Ym, Ym2, Yc, W0[0], H0[0], *hypers
+            *data, inits[0][0], inits[1][0], *hypers
         )
         best = 0
         all_final = None
@@ -361,8 +507,12 @@ def solve(
         from ..parallel.restarts import vmapped_solve
 
         (W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev), best, all_final = (
-            vmapped_solve(core, Ym, Ym2, Yc, W0, H0, hypers)
+            vmapped_solve(core, data, inits, hypers)
         )
+
+    if use_pallas:
+        W_dev = W_dev[:, :m]
+        H_dev = H_dev[:, :n]
 
     # Single host sync: pull results after the fully on-device loop.
     W_int = np.asarray(W_dev)

@@ -1,0 +1,86 @@
+"""Pallas fused-kernel parity vs the XLA path (interpret mode on CPU, f32).
+
+The real-TPU execution of the same kernels is exercised by bench.py and the
+tpu-marked smoke test; here we pin numerical equivalence including padding
+(partial tiles), masking modes, projections, and vmapped restarts.
+"""
+
+import numpy as np
+import pytest
+
+from nbmf_mm_tpu import solve
+
+F32 = dict(dtype="float32")
+PALLAS = dict(backend="pallas", pallas_interpret=True, block_m=64, block_n=64)
+
+
+def _toy(m=70, n=50, p=0.3, seed=0):
+    return (np.random.default_rng(seed).random((m, n)) < p).astype(float)
+
+
+def _mask(shape, p=0.85, seed=1):
+    return (np.random.default_rng(seed).random(shape) < p).astype(float)
+
+
+def _compare(X, tol=2e-5, **kw):
+    a = solve(X, 4, max_iter=15, random_state=0, backend="jnp", **F32, **kw)
+    b = solve(X, 4, max_iter=15, random_state=0, **F32, **PALLAS, **kw)
+    assert a.n_iter == b.n_iter
+    np.testing.assert_allclose(a.W, b.W, atol=tol)
+    np.testing.assert_allclose(a.H, b.H, atol=tol)
+    np.testing.assert_allclose(a.losses, b.losses, atol=tol)
+
+
+def test_pallas_parity_unmasked():
+    _compare(_toy())
+
+
+def test_pallas_parity_masked_parity_mode():
+    X = _toy()
+    _compare(X, mask=_mask(X.shape))
+
+
+def test_pallas_parity_masked_corrected_mode():
+    X = _toy()
+    _compare(X, mask=_mask(X.shape), mask_mode="corrected")
+
+
+def test_pallas_parity_duchi():
+    _compare(_toy(), projection="duchi")
+
+
+def test_pallas_parity_exact_block_multiple():
+    # no padding at all: shapes are exact block multiples
+    _compare(_toy(m=128, n=64))
+
+
+def test_pallas_parity_dir_beta():
+    _compare(_toy(), orientation="dir-beta")
+
+
+def test_pallas_restarts_vmap():
+    X = _toy(seed=3)
+    a = solve(X, 3, max_iter=12, random_state=0, n_init=3, backend="jnp", **F32)
+    b = solve(X, 3, max_iter=12, random_state=0, n_init=3, **F32, **PALLAS)
+    assert a.best_restart == b.best_restart
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+    np.testing.assert_allclose(a.all_final_losses, b.all_final_losses, atol=2e-5)
+
+
+def test_pallas_monotone_f32():
+    X = _toy(seed=5)
+    res = solve(X, 4, max_iter=40, random_state=0, **F32, **PALLAS)
+    # f32 tolerance: the MM guarantee holds to rounding noise
+    assert np.all(np.diff(res.losses) <= 1e-5)
+
+
+def test_pallas_mesh_rejected():
+    import jax
+
+    from nbmf_mm_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(jax.devices()[:2], shape=(2, 1))
+    with pytest.raises(ValueError, match="mesh"):
+        solve(_toy(), 3, backend="pallas", mesh=mesh)

@@ -1,0 +1,72 @@
+"""RDA reader (built-in replacement for pyreadr) and batched hyperparameter
+grid solves."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nbmf_mm_tpu import solve
+from nbmf_mm_tpu.parallel.grid import grid_solve
+
+_REF_DATA = os.environ.get("NBMF_DATA_DIR", "/root/reference/data")
+
+
+def _toy(m=30, n=24, p=0.3, seed=0):
+    return (np.random.default_rng(seed).random((m, n)) < p).astype(float)
+
+
+@pytest.mark.parametrize(
+    "name,shape",
+    [("animals", (50, 85)), ("lastfm", (1226, 285)), ("paleo", (253, 902))],
+)
+def test_rda_reader_real_datasets(name, shape):
+    path = os.path.join(_REF_DATA, f"{name}.rda")
+    if not os.path.exists(path):
+        pytest.skip("reference datasets not available")
+    from nbmf_mm_tpu.utils.rdata import load_r_matrix
+
+    M, obj_name = load_r_matrix(path)
+    assert obj_name == name
+    assert M.shape == shape
+    assert set(np.unique(M)) <= {0.0, 1.0}
+
+
+def test_rda_reader_rejects_garbage(tmp_path):
+    from nbmf_mm_tpu.utils.rdata import read_rda
+
+    p = tmp_path / "bad.rda"
+    p.write_bytes(b"not an rda at all")
+    with pytest.raises(ValueError):
+        read_rda(p)
+
+
+def test_grid_solve_matches_individual_fits():
+    X = _toy()
+    alphas, betas = [0.5, 2.0], [1.0, 3.0]
+    res = grid_solve(X, 3, alphas, betas, max_iter=40, random_state=7)
+    assert res["W"].shape == (4, 30, 3)
+    assert res["losses"].shape == (4, 40)
+    # Grid losses must be monotone per cell.
+    for g in range(4):
+        hist = res["losses"][g][: res["n_iter"][g]]
+        assert np.all(np.diff(hist) <= 1e-12)
+    # Each cell must match a dedicated solve with the same seeded init.
+    for g, (a, b) in enumerate(
+        [(a, b) for a in alphas for b in betas]
+    ):
+        single = solve(X, 3, alpha=a, beta=b, max_iter=40, random_state=7)
+        assert res["n_iter"][g] == single.n_iter
+        np.testing.assert_allclose(res["W"][g], single.W, rtol=1e-9, atol=1e-12)
+
+
+def test_grid_solve_zip_mode_and_masked():
+    X = _toy(seed=2)
+    mask = (np.random.default_rng(1).random(X.shape) < 0.85).astype(float)
+    res = grid_solve(
+        X, 3, [1.0, 2.0], [1.5, 2.5], pair_mode="zip", max_iter=30, mask=mask
+    )
+    assert res["W"].shape[0] == 2
+    assert np.all(np.isfinite(res["final_loss"]))
+    with pytest.raises(ValueError, match="zip"):
+        grid_solve(X, 3, [1.0], [1.0, 2.0], pair_mode="zip")
