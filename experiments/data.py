@@ -22,6 +22,7 @@ import numpy as np
 from nbmf_mm_tpu.utils.rdata import load_r_matrix
 
 REFERENCE_ROOT = Path(os.environ.get("NBMF_REFERENCE_ROOT", "/root/reference"))
+LOCAL_DATA = Path(__file__).resolve().parent.parent / "data"
 DATA_DIR = Path(os.environ.get("NBMF_DATA_DIR", REFERENCE_ROOT / "data"))
 SPLIT_DIR = Path(os.environ.get("NBMF_SPLIT_DIR", DATA_DIR / "magron2022"))
 MAGRON_OUTPUTS = Path(
@@ -33,9 +34,19 @@ _SPLIT_FRACTIONS = (0.70, 0.15, 0.15)  # train / val / test, by entry
 
 
 def load_dataset(name: str) -> np.ndarray:
-    """Load one of the paper's binary matrices from its ``.rda`` file."""
+    """Load one of the paper's binary matrices.
+
+    Prefers the repo's standalone ``data/<name>.npz`` (converted once from
+    the ``.rda`` originals with :mod:`nbmf_mm_tpu.utils.rdata`; see
+    ``data/README.md``), falling back to the ``.rda`` file in
+    ``NBMF_DATA_DIR``.
+    """
     if name not in DATASETS:
         raise ValueError(f"unknown dataset {name!r}; choose from {DATASETS}")
+    npz = LOCAL_DATA / f"{name}.npz"
+    if npz.exists():
+        with np.load(npz) as z:
+            return z["Y"].astype(np.float64)
     Y, _ = load_r_matrix(DATA_DIR / f"{name}.rda")
     return Y
 
@@ -56,10 +67,13 @@ def generate_entry_split(
 
 def load_splits(name: str, shape: Tuple[int, int]) -> Dict[str, np.ndarray]:
     """Load the committed split masks when available; regenerate otherwise."""
-    path = SPLIT_DIR / f"{name}_split.npz"
-    if path.exists():
-        with np.load(path) as z:
-            return {k: z[k].astype(np.float64) for k in ("train_mask", "val_mask", "test_mask")}
+    for path in (LOCAL_DATA / "magron2022" / f"{name}_split.npz", SPLIT_DIR / f"{name}_split.npz"):
+        if path.exists():
+            with np.load(path) as z:
+                return {
+                    k: z[k].astype(np.float64)
+                    for k in ("train_mask", "val_mask", "test_mask")
+                }
     return generate_entry_split(shape)
 
 
