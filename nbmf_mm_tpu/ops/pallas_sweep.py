@@ -179,6 +179,113 @@ def h_terms(
     return call(*args)
 
 
+# ------------------------------------------------------- fused H+loss pass
+def hloss_terms(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    Ym: jnp.ndarray,
+    Yc: Optional[jnp.ndarray] = None,
+    *,
+    eps: float = 1e-8,
+    m_real: int,
+    n_real: int,
+    block_m: int = DEFAULT_BLOCK,
+    block_n: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """One fused pass computing BOTH the H-update contractions and the
+    Bernoulli log-likelihood of the *current* ``(W, H)``.
+
+    The loss the reference reports for sweep ``t`` is evaluated on the
+    factors that the next sweep's H pass reads again — the same ``W.T @ H``
+    product.  Fusing the two (shifted-loss loop in the solver driver) turns
+    the 3-pass sweep into 2 single-read passes with bit-identical results.
+
+    Returns ``(Num, Den, ll_sum)`` with ``ll_sum`` a (1, 1) scalar over the
+    real (m, n) region only.
+    """
+    k, Mp = W.shape
+    _, Np = H.shape
+    bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
+    grid = (Np // bn, Mp // bm)  # m innermost: accumulate (k, bn) across m
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+
+    explicit_yc = Yc is not None
+
+    def kernel(*refs):
+        if explicit_yc:
+            w_ref, h_ref, ym_ref, yc_ref, num_ref, den_ref, ll_ref = refs
+        else:
+            w_ref, h_ref, ym_ref, num_ref, den_ref, ll_ref = refs
+            yc_ref = None
+
+        i, j = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
+            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
+
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _init_ll():
+            ll_ref[0, 0] = jnp.zeros((), acc)
+
+        w = w_ref[...].astype(mxu)
+        ym = ym_ref[...].astype(acc)
+        wh = jax.lax.dot_general(
+            w, h_ref[...].astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        )  # (bm, bn)
+        yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
+        p = ym / (wh + eps)
+        q = yc / (1.0 - wh + eps)
+        num_ref[...] += jax.lax.dot_general(
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        den_ref[...] += jax.lax.dot_general(
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        # Log-likelihood of the current (W, H) over the real region.
+        ll = ym * jnp.log(wh + eps) + yc * jnp.log(1.0 - wh + eps)
+        row = j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        col = i * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        valid = jnp.logical_and(row < m_real, col < n_real)
+        ll_ref[0, 0] += jnp.sum(jnp.where(valid, ll, 0.0))
+
+    in_specs = [
+        pl.BlockSpec((k, bm), lambda i, j: (0, j), memory_space=_VMEM),  # W
+        pl.BlockSpec((k, bn), lambda i, j: (0, i), memory_space=_VMEM),  # H
+        pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM),  # Ym
+    ]
+    if explicit_yc:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((k, bn), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=_SMEM if pltpu else pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Mp * Np * k,
+            bytes_accessed=Mp * Np * 4 * (2 if explicit_yc else 1),
+            transcendentals=2 * Mp * Np,
+        ),
+        interpret=interpret,
+    )
+    args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
+    Num, Den, ll = call(*args)
+    return Num, Den, ll[0, 0]
+
+
 # ----------------------------------------------------------------- W pass
 def w_terms(
     W: jnp.ndarray,

@@ -210,17 +210,31 @@ def _solve_core_pallas(
     """Pallas-path MM loop on zero-padded operands (see
     :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
 
-    Each sweep is 3 fused single-read passes over the (Mp, Np) data; the
-    small (k, .) elementwise updates between passes stay in XLA.  Results
-    come back padded; the caller slices to ``(m_real, n_real)``.
+    Uses the *shifted-loss* schedule: the loss the reference reports after
+    sweep ``t`` is evaluated on the same ``W.T @ H`` product the next
+    sweep's H pass recomputes, so both fuse into one kernel
+    (:func:`~nbmf_mm_tpu.ops.pallas_sweep.hloss_terms`) and each iteration
+    costs exactly 2 single-read passes over the (Mp, Np) data (H+loss pass,
+    W pass) instead of 3 — with results identical to the reference schedule:
+    the body at counter ``it`` records the loss of sweep ``it-1`` and makes
+    the convergence decision the reference made before starting sweep ``it``.
+    One standalone loss kernel after the loop fills the final entry when
+    ``max_iter`` is exhausted.  Results come back padded; the caller slices
+    to ``(m_real, n_real)``.
     """
     from ..ops import pallas_sweep as ps
     from ..ops.projection import project_columns_simplex_duchi
 
     kw = dict(block_m=block_m, block_n=block_n, interpret=interpret)
+    dtype = W0p.dtype
 
-    def sweep(W, H):
-        Num, Den = ps.h_terms(W, H, Ymp, Ycp, eps=eps, **kw)
+    def objective_from_ll(ll, H):
+        H_real = H[:, :n_real]
+        prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H_real + eps))
+        prior_b = (beta - 1.0) * jnp.sum(jnp.log(1.0 - H_real + eps))
+        return (-(ll + prior_a + prior_b) / n_obs).astype(dtype)
+
+    def finish_sweep(W, H, Num, Den):
         num = H * Num + (alpha - 1.0)
         den = (1.0 - H) * Den + (beta - 1.0)
         H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
@@ -237,16 +251,68 @@ def _solve_core_pallas(
             )
         return W_new, H_new
 
-    def objective(W, H):
-        ll = ps.loglik_sum(
-            W, H, Ymp, Ycp, m_real=m_real, n_real=n_real, eps=eps, **kw
-        )
-        H_real = H[:, :n_real]
-        prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H_real + eps))
-        prior_b = (beta - 1.0) * jnp.sum(jnp.log(1.0 - H_real + eps))
-        return -(ll + prior_a + prior_b) / n_obs
+    losses0 = jnp.zeros((max_iter,), dtype=dtype)
 
-    return _mm_loop(sweep, objective, W0p, H0p, tol, max_iter=max_iter, verbose=verbose)
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        W, H, losses, prev1, it, done = carry
+        Num, Den, ll = ps.hloss_terms(
+            W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real, **kw
+        )
+        loss_cur = objective_from_ll(ll, H)  # loss of sweep it-1 (garbage at it=0)
+        if verbose > 0:
+            jax.lax.cond(
+                jnp.logical_and(it >= 1, (it - 1) % 10 == 0),
+                lambda: jax.debug.print(
+                    "Iter {it}: Loss = {loss}", it=it - 1, loss=loss_cur
+                ),
+                lambda: None,
+            )
+        rec = jnp.logical_and(it >= 1, jnp.logical_not(done))
+        losses = jnp.where(
+            rec, losses.at[jnp.maximum(it - 1, 0)].set(loss_cur), losses
+        )
+        # The stopping test the reference made after recording loss_{it-1}
+        # (i.e. before starting sweep `it`): requires two recorded losses.
+        rel_change = jnp.abs(prev1 - loss_cur) / jnp.abs(prev1)
+        newly_done = jnp.logical_and(it >= 2, rel_change < tol)
+        done_out = jnp.logical_or(done, newly_done)
+        W_new, H_new = finish_sweep(W, H, Num, Den)
+        W_out = jnp.where(done_out, W, W_new)
+        H_out = jnp.where(done_out, H, H_new)
+        prev_out = jnp.where(rec, loss_cur, prev1)
+        it_out = jnp.where(done_out, it, it + 1)
+        return (W_out, H_out, losses, prev_out, it_out, done_out)
+
+    init = (
+        W0p,
+        H0p,
+        losses0,
+        jnp.array(jnp.inf, dtype=dtype),
+        jnp.array(0, dtype=jnp.int32),
+        jnp.array(False),
+    )
+    W, H, losses, prev1, n_iter, done = jax.lax.while_loop(cond, body, init)
+
+    # max_iter exhausted without converging: the last sweep's loss was never
+    # recorded — one standalone loss pass fills it.
+    ll_fin = ps.loglik_sum(
+        W, H, Ymp, Ycp, m_real=m_real, n_real=n_real, eps=eps, **kw
+    )
+    loss_fin = objective_from_ll(ll_fin, H)
+    need_final = jnp.logical_not(done)
+    losses = jnp.where(
+        need_final, losses.at[jnp.maximum(n_iter - 1, 0)].set(loss_fin), losses
+    )
+    final_loss = jnp.where(need_final, loss_fin, prev1)
+    rel_fin = jnp.abs(prev1 - loss_fin) / jnp.abs(prev1)
+    done = jnp.logical_or(
+        done, jnp.logical_and(need_final, jnp.logical_and(n_iter >= 2, rel_fin < tol))
+    )
+    return W, H, losses, n_iter, final_loss, done
 
 
 def _resolve_backend(backend: str, dtype, mesh, interpret: bool) -> bool:
