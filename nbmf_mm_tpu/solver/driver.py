@@ -326,12 +326,10 @@ def _resolve_backend(backend: str, dtype, mesh, interpret: bool) -> bool:
     if backend == "jnp":
         return False
     if backend == "pallas":
-        if mesh is not None:
-            raise ValueError("backend='pallas' does not support mesh sharding yet")
         return True
     if backend != "auto":
         raise ValueError(f"backend must be 'auto', 'jnp' or 'pallas', got {backend!r}")
-    if mesh is not None or jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -511,6 +509,44 @@ def solve(
         )
 
     use_pallas = _resolve_backend(backend, dtype, mesh, pallas_interpret)
+
+    if use_pallas and mesh is not None:
+        # Multi-chip fast path: per-shard fused kernels + explicit psums.
+        if n_init > 1:
+            raise ValueError(
+                "n_init > 1 with mesh + pallas is not supported yet; "
+                "use backend='jnp' for vmapped restarts over a mesh"
+            )
+        from ..ops import pallas_sweep as ps
+        from .sharded import solve_core_sharded
+
+        W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev = (
+            solve_core_sharded(
+                Ym, Ym2, Yc, W0[0], H0[0],
+                jnp.array(alpha, dtype=dtype),
+                jnp.array(beta, dtype=dtype),
+                jnp.array(tol, dtype=dtype),
+                n_obs,
+                mesh=mesh,
+                mesh_axes=mesh_axes,
+                max_iter=max_iter,
+                projection=projection,
+                eps=float(eps),
+                m_real=m,
+                n_real=n,
+                block_m=block_m or ps.DEFAULT_BLOCK,
+                block_n=block_n or ps.DEFAULT_BLOCK,
+                interpret=pallas_interpret,
+                data_dtype=data_dtype,
+            )
+        )
+        best, all_final = 0, None
+        return _package_result(
+            W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
+            transposed=transposed, verbose=verbose, max_iter=max_iter,
+            t_start=t_start, seed=seed,
+        )
+
     if use_pallas:
         from ..ops import pallas_sweep as ps
 
@@ -580,7 +616,19 @@ def solve(
         W_dev = W_dev[:, :m]
         H_dev = H_dev[:, :n]
 
-    # Single host sync: pull results after the fully on-device loop.
+    return _package_result(
+        W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
+        transposed=transposed, verbose=verbose, max_iter=max_iter,
+        t_start=t_start, seed=seed,
+    )
+
+
+def _package_result(
+    W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
+    *, transposed, verbose, max_iter, t_start, seed,
+) -> SolverResult:
+    """Pull device results (single host sync), restore external notation and
+    the requested orientation, and apply the final simplex safeguard."""
     W_int = np.asarray(W_dev)
     H_final = np.asarray(H_dev)
     losses_buf = np.asarray(losses_dev)

@@ -1,0 +1,238 @@
+"""Sharded fused solver: Pallas sweep kernels inside ``shard_map`` over a
+2-D device mesh.
+
+The GSPMD path (:mod:`nbmf_mm_tpu.parallel.sharding`) lets XLA partition the
+*XLA* kernels automatically; this module is the multi-chip **fast** path: the
+fused 2-pass Pallas kernels run on each device's local block of the data and
+the cross-device reductions are explicit collectives —
+
+- H+loss pass: local ``(Num, Den, ll)`` partials from the local ``m`` block,
+  then ``psum`` over the ``rows`` axis (``ll`` over both axes);
+- W pass: local ``T`` partials from the local ``n`` block, ``psum`` over
+  ``cols``.
+
+Those are exactly the reductions the math requires; everything else
+(elementwise factor updates, the convergence test) is local and replicated-
+consistent because the psum'd loss is identical on every device.  Layouts
+put the collectives on ICI: per sweep each device exchanges only
+``(k, n_local) + (k, m_local)`` floats — the big ``(m, n)`` data never moves.
+
+Padding contract (different from the single-chip path): every operand is
+padded so each *shard* is block-aligned, the complements ``Ym2``/``Yc`` are
+always materialized with zero pads (pad entries then contribute exactly
+nothing to every contraction and to the loss, with no in-kernel validity
+masks), and a column-validity vector ``Vn`` (sharded like ``H``) keeps H's
+pad columns at zero and excludes them from the Beta-prior sums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pallas_sweep as ps
+from ..ops.projection import project_columns_simplex_duchi
+
+__all__ = ["solve_core_sharded", "plan_shard_padding"]
+
+
+def plan_shard_padding(dim: int, n_shards: int, block: int) -> Tuple[int, int]:
+    """Padded global size and per-shard Pallas block for ``dim`` split over
+    ``n_shards`` devices.  The local size is lane-aligned (128) and either a
+    multiple of ``block`` or itself the block."""
+    local = -(-dim // n_shards)  # ceil
+    local = ps.round_up(local, 128)
+    if local >= block:
+        local = ps.round_up(local, block)
+        blk = block
+    else:
+        blk = local
+    return local * n_shards, blk
+
+
+def solve_core_sharded(
+    Ym,
+    Ym2,
+    Yc,
+    W0,
+    H0,
+    alpha,
+    beta,
+    tol,
+    n_obs,
+    *,
+    mesh: Mesh,
+    mesh_axes: Tuple[str, str],
+    max_iter: int,
+    projection: str,
+    eps: float,
+    m_real: int,
+    n_real: int,
+    block_m: int,
+    block_n: int,
+    interpret: bool = False,
+    data_dtype=None,
+):
+    """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
+
+    Inputs are *unpadded* device-agnostic arrays in the internal layout
+    (``W0 (k, m)`` unit-column-sum, ``H0 (k, n)``); this function plans the
+    shard-aligned padding, places the operands, and returns unpadded results
+    ``(W, H, losses, n_iter, final_loss, done)``.
+    """
+    rows, cols = mesh_axes
+    n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
+    m, n = Ym.shape
+    k = W0.shape[0]
+    dtype = W0.dtype
+
+    Mp, bm = plan_shard_padding(m, n_rows, block_m)
+    Np, bn = plan_shard_padding(n, n_cols, block_n)
+
+    def pad_mn(A):
+        return jnp.pad(A, ((0, Mp - m), (0, Np - n)))
+
+    Ymp = pad_mn(Ym)
+    Ym2p = pad_mn(Ym2)
+    # Parity mode aliases Yc == 1 - Ym *inside the real region*; pads must be
+    # zero, so always materialize the complement explicitly here.
+    Ycp = pad_mn(Yc)
+    if data_dtype is not None:
+        Ymp, Ym2p, Ycp = (A.astype(data_dtype) for A in (Ymp, Ym2p, Ycp))
+    W0p = jnp.pad(W0, ((0, 0), (0, Mp - m)))
+    H0p = jnp.pad(H0, ((0, 0), (0, Np - n)))
+    Vn = (jnp.arange(Np)[None, :] < n_real).astype(dtype)  # (1, Np)
+
+    dsh = NamedSharding(mesh, P(rows, cols))
+    wsh = NamedSharding(mesh, P(None, rows))
+    hsh = NamedSharding(mesh, P(None, cols))
+    Ymp = jax.device_put(Ymp, dsh)
+    Ym2p = jax.device_put(Ym2p, dsh)
+    Ycp = jax.device_put(Ycp, dsh)
+    W0p = jax.device_put(W0p, wsh)
+    H0p = jax.device_put(H0p, hsh)
+    Vn = jax.device_put(Vn, hsh)
+
+    m_loc, n_loc = Mp // n_rows, Np // n_cols
+    kw = dict(block_m=bm, block_n=bn, interpret=interpret)
+
+    def local_loop(Ym_l, Ym2_l, Yc_l, W_l0, H_l0, Vn_l, alpha, beta, tol, n_obs):
+        def objective_from_ll(ll_partial, H_l):
+            ll = jax.lax.psum(ll_partial, (rows, cols))
+            # Beta-prior sums over the real columns only (Vn zeroes pads);
+            # H is replicated over `rows`, sharded over `cols`.
+            pa = (alpha - 1.0) * jax.lax.psum(
+                jnp.sum(jnp.log(H_l + eps) * Vn_l), cols
+            )
+            pb = (beta - 1.0) * jax.lax.psum(
+                jnp.sum(jnp.log(1.0 - H_l + eps) * Vn_l), cols
+            )
+            return (-(ll + pa + pb) / n_obs).astype(dtype)
+
+        def finish_sweep(W_l, H_l, Num, Den):
+            num = H_l * Num + (alpha - 1.0)
+            den = (1.0 - H_l) * Den + (beta - 1.0)
+            H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps) * Vn_l
+            T = jax.lax.psum(
+                ps.w_terms(W_l, H_new, Ym_l, Ym2_l, n_real=n_real, eps=eps, **kw),
+                cols,
+            )
+            W_raw = W_l * T
+            if projection == "normalize":
+                W_new = W_raw / n_real
+                col_sums = W_new.sum(axis=0, keepdims=True)
+                W_new = W_new / jnp.where(col_sums > 0, col_sums, 1.0)
+            else:
+                W_new = project_columns_simplex_duchi(W_raw / n_real)
+                # re-zero pad columns (all-zero cols project to uniform)
+                zero_cols = W_l.sum(axis=0, keepdims=True) == 0
+                W_new = jnp.where(zero_cols, 0.0, W_new)
+            return W_new, H_new
+
+        losses0 = jnp.zeros((max_iter,), dtype=dtype)
+
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        def body(carry):
+            W_l, H_l, losses, prev1, it, done = carry
+            Num_p, Den_p, ll_p = ps.hloss_terms(
+                W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
+            )
+            Num = jax.lax.psum(Num_p, rows)
+            Den = jax.lax.psum(Den_p, rows)
+            loss_cur = objective_from_ll(ll_p, H_l)
+            rec = jnp.logical_and(it >= 1, jnp.logical_not(done))
+            losses = jnp.where(
+                rec, losses.at[jnp.maximum(it - 1, 0)].set(loss_cur), losses
+            )
+            rel_change = jnp.abs(prev1 - loss_cur) / jnp.abs(prev1)
+            newly_done = jnp.logical_and(it >= 2, rel_change < tol)
+            done_out = jnp.logical_or(done, newly_done)
+            W_new, H_new = finish_sweep(W_l, H_l, Num, Den)
+            W_out = jnp.where(done_out, W_l, W_new)
+            H_out = jnp.where(done_out, H_l, H_new)
+            prev_out = jnp.where(rec, loss_cur, prev1)
+            it_out = jnp.where(done_out, it, it + 1)
+            return (W_out, H_out, losses, prev_out, it_out, done_out)
+
+        init = (
+            W_l0,
+            H_l0,
+            losses0,
+            jnp.array(jnp.inf, dtype=dtype),
+            jnp.array(0, dtype=jnp.int32),
+            jnp.array(False),
+        )
+        W_l, H_l, losses, prev1, n_iter, done = jax.lax.while_loop(cond, body, init)
+
+        # Final-loss fill on max_iter exhaustion (see the single-chip core).
+        _, _, ll_p = ps.hloss_terms(
+            W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
+        )
+        loss_fin = objective_from_ll(ll_p, H_l)
+        need_final = jnp.logical_not(done)
+        losses = jnp.where(
+            need_final, losses.at[jnp.maximum(n_iter - 1, 0)].set(loss_fin), losses
+        )
+        final_loss = jnp.where(need_final, loss_fin, prev1)
+        rel_fin = jnp.abs(prev1 - loss_fin) / jnp.abs(prev1)
+        done = jnp.logical_or(
+            done,
+            jnp.logical_and(need_final, jnp.logical_and(n_iter >= 2, rel_fin < tol)),
+        )
+        return W_l, H_l, losses, n_iter, final_loss, done
+
+    mapped = jax.shard_map(
+        local_loop,
+        mesh=mesh,
+        in_specs=(
+            P(rows, cols),  # Ym
+            P(rows, cols),  # Ym2
+            P(rows, cols),  # Yc
+            P(None, rows),  # W
+            P(None, cols),  # H
+            P(None, cols),  # Vn
+            P(), P(), P(), P(),  # scalars
+        ),
+        out_specs=(
+            P(None, rows),  # W
+            P(None, cols),  # H
+            P(),  # losses
+            P(),  # n_iter
+            P(),  # final_loss
+            P(),  # done
+        ),
+        check_vma=False,
+    )
+    mapped = jax.jit(mapped)
+    W, H, losses, n_iter, final_loss, done = mapped(
+        Ymp, Ym2p, Ycp, W0p, H0p, Vn, alpha, beta, tol, n_obs
+    )
+    return W[:, :m], H[:, :n], losses, n_iter, final_loss, done

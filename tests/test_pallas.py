@@ -74,7 +74,9 @@ def test_pallas_monotone_f32():
     assert np.all(np.diff(res.losses) <= 1e-5)
 
 
-def test_pallas_mesh_rejected():
+def test_pallas_mesh_n_init_rejected():
+    # mesh + pallas is the sharded fast path (tests/test_sharded_pallas.py);
+    # batched restarts on it are not supported yet and must raise clearly.
     import jax
 
     from nbmf_mm_tpu.parallel.sharding import make_mesh
@@ -82,5 +84,5 @@ def test_pallas_mesh_rejected():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
     mesh = make_mesh(jax.devices()[:2], shape=(2, 1))
-    with pytest.raises(ValueError, match="mesh"):
-        solve(_toy(), 3, backend="pallas", mesh=mesh)
+    with pytest.raises(ValueError, match="n_init"):
+        solve(_toy(), 3, backend="pallas", mesh=mesh, n_init=4, **F32)

@@ -1,0 +1,84 @@
+"""shard_map + Pallas fused solver: per-shard kernels with explicit psums
+must match the single-device XLA path (8 virtual CPU devices, interpret-mode
+kernels)."""
+
+import jax
+import numpy as np
+import pytest
+
+from nbmf_mm_tpu import solve
+from nbmf_mm_tpu.parallel.sharding import make_mesh
+from nbmf_mm_tpu.solver.sharded import plan_shard_padding
+
+F32 = dict(dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(jax.devices()[:8], shape=(4, 2))
+
+
+def _toy(m=70, n=50, p=0.3, seed=0):
+    return (np.random.default_rng(seed).random((m, n)) < p).astype(float)
+
+
+def _sharded(mesh, X, **kw):
+    return solve(
+        X, 4, max_iter=15, random_state=0, backend="pallas",
+        pallas_interpret=True, block_m=128, block_n=128, mesh=mesh, **F32, **kw,
+    )
+
+
+def _plain(X, **kw):
+    return solve(X, 4, max_iter=15, random_state=0, backend="jnp", **F32, **kw)
+
+
+def test_plan_shard_padding():
+    assert plan_shard_padding(70, 4, 512) == (4 * 128, 128)
+    assert plan_shard_padding(10000, 4, 512) == (4 * 2560, 512)
+    assert plan_shard_padding(100, 1, 512) == (128, 128)
+
+
+def test_sharded_pallas_matches_plain(mesh):
+    X = _toy()
+    a, b = _plain(X), _sharded(mesh, X)
+    assert a.n_iter == b.n_iter
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+    np.testing.assert_allclose(a.losses, b.losses, atol=2e-5)
+
+
+@pytest.mark.parametrize("mask_mode", ["parity", "corrected"])
+def test_sharded_pallas_masked(mesh, mask_mode):
+    X = _toy(seed=2)
+    mask = (np.random.default_rng(3).random(X.shape) < 0.85).astype(float)
+    a = _plain(X, mask=mask, mask_mode=mask_mode)
+    b = _sharded(mesh, X, mask=mask, mask_mode=mask_mode)
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+    np.testing.assert_allclose(a.losses, b.losses, atol=2e-5)
+
+
+def test_sharded_pallas_dir_beta_and_duchi(mesh):
+    X = _toy(seed=4)
+    a = _plain(X, orientation="dir-beta", projection="duchi")
+    b = _sharded(mesh, X, orientation="dir-beta", projection="duchi")
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+    np.testing.assert_allclose(a.H, b.H, atol=2e-5)
+
+
+def test_sharded_pallas_early_stop(mesh):
+    X = _toy(seed=5)
+    a = solve(X, 4, max_iter=200, tol=1e-3, random_state=0, backend="jnp", **F32)
+    b = solve(
+        X, 4, max_iter=200, tol=1e-3, random_state=0, backend="pallas",
+        pallas_interpret=True, block_m=128, block_n=128, mesh=mesh, **F32,
+    )
+    assert a.converged and b.converged
+    assert abs(a.n_iter - b.n_iter) <= 1  # f32 threshold noise only
+    assert len(b.losses) == b.n_iter
+
+
+def test_sharded_pallas_n_init_rejected(mesh):
+    with pytest.raises(ValueError, match="n_init"):
+        _sharded(mesh, _toy(), n_init=4)
