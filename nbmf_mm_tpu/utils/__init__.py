@@ -8,6 +8,7 @@ from .checkpoint import (
     save_model,
 )
 from .profiling import device_memory_stats, sweep_timer, trace
+from .rdata import load_r_matrix, read_rda
 from .synth import generate_synthetic_binary_data
 from .validation import check_array, check_is_fitted, densify
 
@@ -24,4 +25,6 @@ __all__ = [
     "trace",
     "sweep_timer",
     "device_memory_stats",
+    "read_rda",
+    "load_r_matrix",
 ]
