@@ -139,9 +139,14 @@ def h_terms(
         wh = jax.lax.dot_general(
             w, h_ref[...].astype(mxu), (((0,), (0,)), ((), ())), preferred_element_type=acc
         )  # (bm, bn)
-        p = ym / (wh + eps)
+        # Shared-reciprocal ratios: one VPU divide instead of two.
+        # p = ym/(wh+eps), q = yc/(1-wh+eps) via r = 1/((wh+eps)(1-wh+eps)).
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
-        q = yc / (1.0 - wh + eps)
+        q = yc * (a * r)
         num_ref[...] += jax.lax.dot_general(
             w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
@@ -238,8 +243,11 @@ def hloss_terms(
             preferred_element_type=acc,
         )  # (bm, bn)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
-        p = ym / (wh + eps)
-        q = yc / (1.0 - wh + eps)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
+        q = yc * (a * r)
         num_ref[...] += jax.lax.dot_general(
             w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
@@ -247,7 +255,7 @@ def hloss_terms(
             w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
         # Log-likelihood of the current (W, H) over the real region.
-        ll = ym * jnp.log(wh + eps) + yc * jnp.log(1.0 - wh + eps)
+        ll = ym * jnp.log(a) + yc * jnp.log(b)
         row = j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         col = i * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
         valid = jnp.logical_and(row < m_real, col < n_real)
@@ -330,14 +338,17 @@ def w_terms(
         wh = jax.lax.dot_general(
             w_ref[...].astype(mxu), h, (((0,), (0,)), ((), ())), preferred_element_type=acc
         )  # (bm, bn)
-        p = ym / (wh + eps)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
         if explicit_ym2:
             ym2 = ym2_ref[...].astype(acc)
         else:
             j = pl.program_id(1)
             col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
             ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
-        q = ym2 / (1.0 - wh + eps)
+        q = ym2 * (a * r)
         # T += H @ P.T + (1-H) @ Q.T, contracting the n axis of both operands.
         one_minus_h = (1.0 - h.astype(acc)).astype(mxu)
         t_ref[...] += jax.lax.dot_general(

@@ -42,6 +42,10 @@ def grid_solve(
     dtype=None,
     precision=None,
     pair_mode: str = "product",
+    backend: str = "jnp",
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    pallas_interpret: bool = False,
 ):
     """Solve NBMF-MM for every (alpha, beta) cell in one batched program.
 
@@ -93,29 +97,59 @@ def grid_solve(
         else jnp.count_nonzero(mask).astype(dtype)
     )
 
-    core = partial(
-        _solve_core,
-        max_iter=max_iter,
-        projection=projection,
-        precision=precision,
-        verbose=0,
-    )
-    batched = jax.vmap(
-        core, in_axes=(None, None, None, None, None, 0, 0, None, None, None, None)
-    )
-    W, H, losses, n_iter, final_loss, done = batched(
-        Ym,
-        Ym2,
-        Yc,
-        W0,
-        H0,
-        jnp.asarray(a_flat, dtype=dtype),
-        jnp.asarray(b_flat, dtype=dtype),
-        jnp.array(tol, dtype=dtype),
-        jnp.array(eps, dtype=dtype),
-        n_obs,
-        jnp.array(n, dtype=dtype),
-    )
+    alphas_d = jnp.asarray(a_flat, dtype=dtype)
+    betas_d = jnp.asarray(b_flat, dtype=dtype)
+    if backend == "pallas":
+        # Fused-kernel grid: the hyperparameter axis vmaps over the Pallas
+        # while_loop exactly like the restart axis does.
+        from ..ops import pallas_sweep as ps
+        from ..solver.driver import _solve_core_pallas
+
+        bm = block_m or ps.DEFAULT_BLOCK
+        bn = block_n or ps.DEFAULT_BLOCK
+        Ymp, Ym2p, Ycp, W0p, H0p, _ = ps.pad_operands(
+            Ym, Ym2, Yc, W0, H0,
+            masked=mask is not None, mask_mode=mask_mode,
+            block_m=bm, block_n=bn,
+        )
+        core = partial(
+            _solve_core_pallas,
+            max_iter=max_iter, projection=projection, verbose=0,
+            eps=float(eps), m_real=m, n_real=n,
+            block_m=bm, block_n=bn, interpret=pallas_interpret,
+        )
+        batched = jax.vmap(
+            core, in_axes=(None, None, None, None, None, 0, 0, None, None)
+        )
+        W, H, losses, n_iter, final_loss, done = batched(
+            Ymp, Ym2p, Ycp, W0p, H0p,
+            alphas_d, betas_d, jnp.array(tol, dtype=dtype), n_obs,
+        )
+        W, H = W[:, :, :m], H[:, :, :n]
+    else:
+        core = partial(
+            _solve_core,
+            max_iter=max_iter,
+            projection=projection,
+            precision=precision,
+            verbose=0,
+        )
+        batched = jax.vmap(
+            core, in_axes=(None, None, None, None, None, 0, 0, None, None, None, None)
+        )
+        W, H, losses, n_iter, final_loss, done = batched(
+            Ym,
+            Ym2,
+            Yc,
+            W0,
+            H0,
+            alphas_d,
+            betas_d,
+            jnp.array(tol, dtype=dtype),
+            jnp.array(eps, dtype=dtype),
+            n_obs,
+            jnp.array(n, dtype=dtype),
+        )
     return {
         "alpha": a_flat,
         "beta": b_flat,

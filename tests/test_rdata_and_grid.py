@@ -60,6 +60,19 @@ def test_grid_solve_matches_individual_fits():
         np.testing.assert_allclose(res["W"][g], single.W, rtol=1e-9, atol=1e-12)
 
 
+def test_grid_solve_pallas_backend_matches():
+    X = _toy()
+    kwargs = dict(max_iter=12, random_state=7, dtype="float32")
+    a = grid_solve(X, 3, [0.5, 2.0], [1.0, 3.0], **kwargs)
+    b = grid_solve(
+        X, 3, [0.5, 2.0], [1.0, 3.0], backend="pallas",
+        pallas_interpret=True, block_m=64, block_n=64, **kwargs,
+    )
+    np.testing.assert_array_equal(a["n_iter"], b["n_iter"])
+    np.testing.assert_allclose(a["W"], b["W"], atol=2e-5)
+    np.testing.assert_allclose(a["losses"], b["losses"], atol=2e-5)
+
+
 def test_grid_solve_zip_mode_and_masked():
     X = _toy(seed=2)
     mask = (np.random.default_rng(1).random(X.shape) < 0.85).astype(float)
