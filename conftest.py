@@ -16,7 +16,10 @@ import sys
 
 _platform = os.environ.get("NBMF_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+if _platform == "cpu":
+    # x64 is the CPU parity regime only — TPUs have no f64, and x64 integer
+    # widening (i64) is not legal in Mosaic kernels.
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -24,7 +27,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (may already be imported by sitecustomize)
 
 jax.config.update("jax_platforms", _platform)
-if os.environ.get("JAX_ENABLE_X64") == "1":
+if _platform == "cpu" and os.environ.get("JAX_ENABLE_X64") == "1":
     jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(__file__))
