@@ -431,9 +431,17 @@ def solve(
         dtype = jnp.dtype(jnp.float32)
         precision = jax.lax.Precision.DEFAULT
 
-    Y = np.asarray(_densify(Y), dtype=dtype)
+    # Accept device-resident arrays without a host round-trip (large inputs
+    # through a remote-device tunnel would otherwise re-transfer per call).
+    def _to_backend(A):
+        A = _densify(A)
+        if isinstance(A, jax.Array):
+            return A.astype(dtype)
+        return np.asarray(A, dtype=dtype)
+
+    Y = _to_backend(Y)
     if mask is not None:
-        mask = np.asarray(_densify(mask), dtype=dtype)
+        mask = _to_backend(mask)
 
     # dir-beta == beta-dir on Y.T with factors swapped (reference
     # _solver.py:113-123); both init matrices must be given to be swapped.
