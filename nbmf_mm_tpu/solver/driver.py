@@ -489,20 +489,41 @@ def solve(
     W0 = jnp.swapaxes(W0_ext, 1, 2)
     W0 = W0 / W0.sum(axis=1, keepdims=True)
 
-    Ym, Ym2, Yc = precompute_masked_terms(jnp.asarray(Y), None if mask is None else jnp.asarray(mask), mask_mode)
     if mask is None:
         n_obs = jnp.array(Y.size, dtype=dtype)
     else:
         n_obs = jnp.count_nonzero(mask).astype(dtype)
     n_real = jnp.array(n, dtype=dtype)
 
-    # Optional GSPMD placement over a device mesh.
-    if mesh is not None:
-        from ..parallel.sharding import shard_solver_operands
+    use_pallas = _resolve_backend(backend, dtype, mesh, pallas_interpret)
 
-        Ym, Ym2, Yc, W0, H0 = shard_solver_operands(
-            Ym, Ym2, Yc, W0, H0, mesh=mesh, mesh_axes=mesh_axes
+    if use_pallas and mesh is None:
+        # Memory-frugal operand construction for the fused kernels: build
+        # only the arrays the kernels actually read (the parity-mode
+        # complement is synthesized in-register), and cast to the bf16 data
+        # dtype BEFORE any padding so no full-size f32 copies linger — at
+        # 1e9-entry scale the difference is several HBM-GB of peak usage.
+        Yj = jnp.asarray(Y)
+        if data_dtype is not None:
+            Yj = Yj.astype(data_dtype)
+        if mask is None:
+            Ym, Ym2, Yc = Yj, None, None
+        else:
+            mj = jnp.asarray(mask).astype(Yj.dtype)
+            Ym = Yj * mj
+            Ym2 = (1.0 - Yj) * mj
+            Yc = Ym2 if mask_mode == "corrected" else None
+    else:
+        Ym, Ym2, Yc = precompute_masked_terms(
+            jnp.asarray(Y), None if mask is None else jnp.asarray(mask), mask_mode
         )
+        # Optional GSPMD placement over a device mesh (jnp path).
+        if mesh is not None and not use_pallas:
+            from ..parallel.sharding import shard_solver_operands
+
+            Ym, Ym2, Yc, W0, H0 = shard_solver_operands(
+                Ym, Ym2, Yc, W0, H0, mesh=mesh, mesh_axes=mesh_axes
+            )
 
     if max_iter <= 0:
         # Graceful degenerate case (the reference raises NameError here):
@@ -515,8 +536,6 @@ def solve(
             W=W_final, H=H_final, losses=[], time_elapsed=time.time() - t_start,
             n_iter=0, converged=False, seed=seed,
         )
-
-    use_pallas = _resolve_backend(backend, dtype, mesh, pallas_interpret)
 
     if use_pallas and mesh is not None:
         # Multi-chip fast path: per-shard fused kernels + explicit psums.
@@ -560,14 +579,14 @@ def solve(
 
         bm = block_m or ps.DEFAULT_BLOCK
         bn = block_n or ps.DEFAULT_BLOCK
-        Ymp, Ym2p, Ycp, W0p, H0p, _ = ps.pad_operands(
-            Ym, Ym2, Yc, W0, H0,
-            masked=mask is not None, mask_mode=mask_mode,
-            block_m=bm, block_n=bn,
-        )
-        if data_dtype is not None:
-            cast = lambda A: None if A is None else A.astype(data_dtype)
-            Ymp, Ym2p, Ycp = cast(Ymp), cast(Ym2p), cast(Ycp)
+        # Operands were prepared minimally above (bf16 cast already applied,
+        # absent complements stay None and are synthesized in-kernel).
+        Mp = ps.round_up(m, ps._pick_block(m, bm))
+        Np = ps.round_up(n, ps._pick_block(n, bn))
+        pad_mn = lambda A: None if A is None else jnp.pad(A, ((0, Mp - m), (0, Np - n)))
+        pad_last = lambda A, t: jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])])
+        Ymp, Ym2p, Ycp = pad_mn(Ym), pad_mn(Ym2), pad_mn(Yc)
+        W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
         core = partial(
             _solve_core_pallas,
             max_iter=max_iter,
