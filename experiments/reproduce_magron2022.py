@@ -108,7 +108,22 @@ def run_figure1(datasets, outdir: Path, dtype):
         _write_csv(outdir / f"figure1_{ds}_results.csv", rows)
 
 
-def run_figure2(datasets, outdir: Path, dtype):
+def _baseline_perplexities(Y, train_mask, test_mask, k, dtype):
+    """Fit the paper's two comparison baselines from scratch (the reference
+    only reads stored artifacts for these)."""
+    from nbmf_mm_tpu.models import NBMFEM, LogisticPCA
+
+    out = {}
+    em = NBMFEM(n_components=k, max_iter=1000, tol=1e-5, random_state=SEED, dtype=dtype)
+    em.fit(Y, mask=train_mask)
+    out["nbmf_em_test_perplexity"] = compute_perplexity(Y, em.reconstruction(), test_mask)
+    lp = LogisticPCA(n_components=k, max_iter=1000, random_state=SEED, dtype=dtype)
+    lp.fit(Y, mask=train_mask)
+    out["logpca_test_perplexity"] = compute_perplexity(Y, lp.reconstruction(), test_mask)
+    return out
+
+
+def run_figure2(datasets, outdir: Path, dtype, with_baselines: bool = True):
     print("\n=== Figure 2: test perplexity at best hyperparameters ===")
     rows = []
     for ds in datasets:
@@ -142,11 +157,19 @@ def run_figure2(datasets, outdir: Path, dtype):
             "n_iter": model.n_iter_,
             "time": fit_time,
         }
+        if with_baselines:
+            row.update(_baseline_perplexities(Y, train_mask, test_mask, p["k"], dtype))
         rows.append(row)
         print(
             f"{ds}: test_pplx={test_pplx:.4f} "
-            f"(magron best-val={row['magron_best_val_perplexity']:.4f}) "
-            f"iters={model.n_iter_} time={fit_time:.2f}s"
+            f"(magron best-val={row['magron_best_val_perplexity']:.4f}"
+            + (
+                f", NBMF-EM={row['nbmf_em_test_perplexity']:.4f}"
+                f", logPCA={row['logpca_test_perplexity']:.4f}"
+                if with_baselines
+                else ""
+            )
+            + f") iters={model.n_iter_} time={fit_time:.2f}s"
         )
         np.savez(
             outdir / f"figure2_{ds}_model.npz",

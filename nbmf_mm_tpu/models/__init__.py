@@ -1,5 +1,6 @@
-"""Model families: the NBMF estimator API."""
+"""Model families: the NBMF estimator plus the paper's comparison baselines."""
 
+from .baselines import LogisticPCA, NBMFEM
 from .estimator import NBMF, NBMFMM
 
-__all__ = ["NBMF", "NBMFMM"]
+__all__ = ["NBMF", "NBMFMM", "NBMFEM", "LogisticPCA"]
