@@ -38,7 +38,6 @@ Layout / padding contract (established by :func:`pad_operands`):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -315,7 +315,7 @@ def _solve_core_pallas(
     return W, H, losses, n_iter, final_loss, done
 
 
-def _resolve_backend(backend: str, dtype, mesh, interpret: bool) -> bool:
+def _resolve_backend(backend: str, dtype, mesh) -> bool:
     """Decide whether to use the fused Pallas sweep path.
 
     ``auto`` selects Pallas on TPU-like backends with <= f32 dtypes and no
@@ -495,7 +495,7 @@ def solve(
         n_obs = jnp.count_nonzero(mask).astype(dtype)
     n_real = jnp.array(n, dtype=dtype)
 
-    use_pallas = _resolve_backend(backend, dtype, mesh, pallas_interpret)
+    use_pallas = _resolve_backend(backend, dtype, mesh)
 
     if use_pallas and mesh is None:
         # Memory-frugal operand construction for the fused kernels: build
