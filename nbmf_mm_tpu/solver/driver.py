@@ -538,36 +538,34 @@ def solve(
         )
 
     if use_pallas and mesh is not None:
-        # Multi-chip fast path: per-shard fused kernels + explicit psums.
-        if n_init > 1:
-            raise ValueError(
-                "n_init > 1 with mesh + pallas is not supported yet; "
-                "use backend='jnp' for vmapped restarts over a mesh"
-            )
+        # Multi-chip fast path: per-shard fused kernels + explicit psums;
+        # the n_init restart axis is vmapped inside the shard_map.
         from ..ops import pallas_sweep as ps
         from .sharded import solve_core_sharded
 
-        W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev = (
-            solve_core_sharded(
-                Ym, Ym2, Yc, W0[0], H0[0],
-                jnp.array(alpha, dtype=dtype),
-                jnp.array(beta, dtype=dtype),
-                jnp.array(tol, dtype=dtype),
-                n_obs,
-                mesh=mesh,
-                mesh_axes=mesh_axes,
-                max_iter=max_iter,
-                projection=projection,
-                eps=float(eps),
-                m_real=m,
-                n_real=n,
-                block_m=block_m or ps.DEFAULT_BLOCK,
-                block_n=block_n or ps.DEFAULT_BLOCK,
-                interpret=pallas_interpret,
-                data_dtype=data_dtype,
-            )
+        Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b = solve_core_sharded(
+            Ym, Ym2, Yc, W0, H0,
+            jnp.array(alpha, dtype=dtype),
+            jnp.array(beta, dtype=dtype),
+            jnp.array(tol, dtype=dtype),
+            n_obs,
+            mesh=mesh,
+            mesh_axes=mesh_axes,
+            max_iter=max_iter,
+            projection=projection,
+            eps=float(eps),
+            m_real=m,
+            n_real=n,
+            block_m=block_m or ps.DEFAULT_BLOCK,
+            block_n=block_n or ps.DEFAULT_BLOCK,
+            interpret=pallas_interpret,
+            data_dtype=data_dtype,
         )
-        best, all_final = 0, None
+        best = int(jnp.argmin(final_loss_b)) if n_init > 1 else 0
+        all_final = np.asarray(final_loss_b) if n_init > 1 else None
+        W_dev, H_dev, losses_dev, n_iter_dev, done_dev = (
+            Wb[best], Hb[best], losses_b[best], n_iter_b[best], done_b[best]
+        )
         return _package_result(
             W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
             transposed=transposed, verbose=verbose, max_iter=max_iter,

@@ -80,15 +80,17 @@ def solve_core_sharded(
 ):
     """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
 
-    Inputs are *unpadded* device-agnostic arrays in the internal layout
-    (``W0 (k, m)`` unit-column-sum, ``H0 (k, n)``); this function plans the
-    shard-aligned padding, places the operands, and returns unpadded results
-    ``(W, H, losses, n_iter, final_loss, done)``.
+    Inputs are *unpadded* device-agnostic arrays in the internal layout with
+    a leading restart axis: ``W0 (b, k, m)`` unit-column-sum, ``H0 (b, k,
+    n)`` — the restart axis is ``vmap``-ed *inside* the shard_map (every
+    restart advances in lockstep on every shard).  This function plans the
+    shard-aligned padding, places the operands, and returns unpadded batched
+    results ``(W, H, losses, n_iter, final_loss, done)``.
     """
     rows, cols = mesh_axes
     n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
     m, n = Ym.shape
-    k = W0.shape[0]
+    _, k, _ = W0.shape
     dtype = W0.dtype
 
     Mp, bm = plan_shard_padding(m, n_rows, block_m)
@@ -104,24 +106,24 @@ def solve_core_sharded(
     Ycp = pad_mn(Yc)
     if data_dtype is not None:
         Ymp, Ym2p, Ycp = (A.astype(data_dtype) for A in (Ymp, Ym2p, Ycp))
-    W0p = jnp.pad(W0, ((0, 0), (0, Mp - m)))
-    H0p = jnp.pad(H0, ((0, 0), (0, Np - n)))
+    W0p = jnp.pad(W0, ((0, 0), (0, 0), (0, Mp - m)))
+    H0p = jnp.pad(H0, ((0, 0), (0, 0), (0, Np - n)))
     Vn = (jnp.arange(Np)[None, :] < n_real).astype(dtype)  # (1, Np)
 
     dsh = NamedSharding(mesh, P(rows, cols))
-    wsh = NamedSharding(mesh, P(None, rows))
-    hsh = NamedSharding(mesh, P(None, cols))
+    wsh = NamedSharding(mesh, P(None, None, rows))
+    hsh = NamedSharding(mesh, P(None, None, cols))
     Ymp = jax.device_put(Ymp, dsh)
     Ym2p = jax.device_put(Ym2p, dsh)
     Ycp = jax.device_put(Ycp, dsh)
     W0p = jax.device_put(W0p, wsh)
     H0p = jax.device_put(H0p, hsh)
-    Vn = jax.device_put(Vn, hsh)
+    Vn = jax.device_put(Vn, NamedSharding(mesh, P(None, cols)))
 
     m_loc, n_loc = Mp // n_rows, Np // n_cols
     kw = dict(block_m=bm, block_n=bn, interpret=interpret)
 
-    def local_loop(Ym_l, Ym2_l, Yc_l, W_l0, H_l0, Vn_l, alpha, beta, tol, n_obs):
+    def local_loop(Ym_l, Ym2_l, Yc_l, W_b0, H_b0, Vn_l, alpha, beta, tol, n_obs):
         def objective_from_ll(ll_partial, H_l):
             ll = jax.lax.psum(ll_partial, (rows, cols))
             # Beta-prior sums over the real columns only (Vn zeroes pads);
@@ -160,6 +162,9 @@ def solve_core_sharded(
             _, _, _, _, it, done = carry
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
+        # (cond/body below operate on ONE restart; the restart axis is
+        # vmapped at the bottom — the freeze semantics make that exact.)
+
         def body(carry):
             W_l, H_l, losses, prev1, it, done = carry
             Num_p, Den_p, ll_p = ps.hloss_terms(
@@ -182,32 +187,39 @@ def solve_core_sharded(
             it_out = jnp.where(done_out, it, it + 1)
             return (W_out, H_out, losses, prev_out, it_out, done_out)
 
-        init = (
-            W_l0,
-            H_l0,
-            losses0,
-            jnp.array(jnp.inf, dtype=dtype),
-            jnp.array(0, dtype=jnp.int32),
-            jnp.array(False),
-        )
-        W_l, H_l, losses, prev1, n_iter, done = jax.lax.while_loop(cond, body, init)
+        def one_restart(W_l0, H_l0):
+            init = (
+                W_l0,
+                H_l0,
+                losses0,
+                jnp.array(jnp.inf, dtype=dtype),
+                jnp.array(0, dtype=jnp.int32),
+                jnp.array(False),
+            )
+            W_l, H_l, losses, prev1, n_iter, done = jax.lax.while_loop(
+                cond, body, init
+            )
 
-        # Final-loss fill on max_iter exhaustion (see the single-chip core).
-        _, _, ll_p = ps.hloss_terms(
-            W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
-        )
-        loss_fin = objective_from_ll(ll_p, H_l)
-        need_final = jnp.logical_not(done)
-        losses = jnp.where(
-            need_final, losses.at[jnp.maximum(n_iter - 1, 0)].set(loss_fin), losses
-        )
-        final_loss = jnp.where(need_final, loss_fin, prev1)
-        rel_fin = jnp.abs(prev1 - loss_fin) / jnp.abs(prev1)
-        done = jnp.logical_or(
-            done,
-            jnp.logical_and(need_final, jnp.logical_and(n_iter >= 2, rel_fin < tol)),
-        )
-        return W_l, H_l, losses, n_iter, final_loss, done
+            # Final-loss fill on max_iter exhaustion (single-chip core dito).
+            _, _, ll_p = ps.hloss_terms(
+                W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
+            )
+            loss_fin = objective_from_ll(ll_p, H_l)
+            need_final = jnp.logical_not(done)
+            losses = jnp.where(
+                need_final, losses.at[jnp.maximum(n_iter - 1, 0)].set(loss_fin), losses
+            )
+            final_loss = jnp.where(need_final, loss_fin, prev1)
+            rel_fin = jnp.abs(prev1 - loss_fin) / jnp.abs(prev1)
+            done = jnp.logical_or(
+                done,
+                jnp.logical_and(
+                    need_final, jnp.logical_and(n_iter >= 2, rel_fin < tol)
+                ),
+            )
+            return W_l, H_l, losses, n_iter, final_loss, done
+
+        return jax.vmap(one_restart)(W_b0, H_b0)
 
     mapped = jax.shard_map(
         local_loop,
@@ -216,18 +228,18 @@ def solve_core_sharded(
             P(rows, cols),  # Ym
             P(rows, cols),  # Ym2
             P(rows, cols),  # Yc
-            P(None, rows),  # W
-            P(None, cols),  # H
+            P(None, None, rows),  # W (restart axis leading)
+            P(None, None, cols),  # H
             P(None, cols),  # Vn
             P(), P(), P(), P(),  # scalars
         ),
         out_specs=(
-            P(None, rows),  # W
-            P(None, cols),  # H
-            P(),  # losses
-            P(),  # n_iter
-            P(),  # final_loss
-            P(),  # done
+            P(None, None, rows),  # W
+            P(None, None, cols),  # H
+            P(),  # losses (b, max_iter)
+            P(),  # n_iter (b,)
+            P(),  # final_loss (b,)
+            P(),  # done (b,)
         ),
         check_vma=False,
     )
@@ -235,4 +247,4 @@ def solve_core_sharded(
     W, H, losses, n_iter, final_loss, done = mapped(
         Ymp, Ym2p, Ycp, W0p, H0p, Vn, alpha, beta, tol, n_obs
     )
-    return W[:, :m], H[:, :n], losses, n_iter, final_loss, done
+    return W[:, :, :m], H[:, :, :n], losses, n_iter, final_loss, done

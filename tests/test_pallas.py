@@ -74,9 +74,9 @@ def test_pallas_monotone_f32():
     assert np.all(np.diff(res.losses) <= 1e-5)
 
 
-def test_pallas_mesh_n_init_rejected():
-    # mesh + pallas is the sharded fast path (tests/test_sharded_pallas.py);
-    # batched restarts on it are not supported yet and must raise clearly.
+def test_pallas_mesh_n_init_supported():
+    # mesh + pallas + restarts: vmapped inside the shard_map (full matrix in
+    # tests/test_sharded_pallas.py); smoke-check the 2-device route here.
     import jax
 
     from nbmf_mm_tpu.parallel.sharding import make_mesh
@@ -84,5 +84,10 @@ def test_pallas_mesh_n_init_rejected():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
     mesh = make_mesh(jax.devices()[:2], shape=(2, 1))
-    with pytest.raises(ValueError, match="n_init"):
-        solve(_toy(), 3, backend="pallas", mesh=mesh, n_init=4, **F32)
+    res = solve(
+        _toy(), 3, max_iter=10, random_state=0, n_init=2,
+        backend="pallas", mesh=mesh, pallas_interpret=True,
+        block_m=64, block_n=64, **F32,
+    )
+    assert res.all_final_losses.shape == (2,)
+    assert np.isfinite(res.losses[-1])

@@ -79,6 +79,12 @@ def test_sharded_pallas_early_stop(mesh):
     assert len(b.losses) == b.n_iter
 
 
-def test_sharded_pallas_n_init_rejected(mesh):
-    with pytest.raises(ValueError, match="n_init"):
-        _sharded(mesh, _toy(), n_init=4)
+def test_sharded_pallas_n_init(mesh):
+    """Restart axis vmapped inside the shard_map matches plain vmapped
+    restarts."""
+    X = _toy(seed=7)
+    a = _plain(X, n_init=4)
+    b = _sharded(mesh, X, n_init=4)
+    assert a.best_restart == b.best_restart
+    np.testing.assert_allclose(a.all_final_losses, b.all_final_losses, atol=2e-5)
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
