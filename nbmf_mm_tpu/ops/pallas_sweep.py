@@ -7,20 +7,23 @@ full passes over m*n data.  These kernels fuse each of the three structural
 contractions of a sweep into a single pass that reads the data matrix ONCE
 and keeps every (tile_m, tile_n) temporary in VMEM:
 
-- :func:`h_terms`   — ``Num = W @ (Ym / (W.T@H + eps))`` and
-                      ``Den = W @ (Yc / (1 - W.T@H + eps))`` (both (k, n)),
-                      the two contractions of the H update
-                      (reference formulas ``_solver.py:39-43``);
+- :func:`hloss_terms` — ``Num = W @ (Ym / (W.T@H + eps))``, ``Den = W @
+                      (Yc / (1 - W.T@H + eps))`` (both (k, n)) AND the
+                      Bernoulli log-likelihood of the current (W, H), all
+                      from one ``W.T@H`` (reference formulas
+                      ``_solver.py:39-43,148-155``; the loss fuses in via
+                      the solver's shifted-loss schedule);
 - :func:`w_terms`   — ``T = H @ (Ym / (W.T@H + eps)).T
                            + (1-H) @ (Ym2 / (1 - W.T@H + eps)).T`` ((k, m)),
                       the W-update contraction (``_solver.py:50-53``);
-- :func:`loglik_sum`— ``sum(Ym log(WH+eps) + Yc log(1-WH+eps))`` (scalar),
-                      the data term of the objective (``_solver.py:148-155``).
+- :func:`h_terms` / :func:`loglik_sum` — the unfused variants (used by the
+                      post-loop final-loss fill and available standalone).
 
-Per full sweep this is 3 reads of the (m, n) data and zero (m, n) writes,
+Per full sweep this is 2 reads of the (m, n) data and zero (m, n) writes,
 versus ~10 reads + ~7 writes for the XLA path — the kernels exist purely to
 buy that bandwidth back; the math is bit-compatible with the jnp path (same
-epsilon placement and operation order inside each tile).
+epsilon placement and operation order inside each tile, with ratios formed
+through a shared reciprocal: one VPU divide instead of two).
 
 Layout / padding contract (established by :func:`pad_operands`):
 
