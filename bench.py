@@ -35,7 +35,10 @@ M = N = int(os.environ.get("NBMF_BENCH_MN", 10000))
 K = int(os.environ.get("NBMF_BENCH_K", 128))
 SWEEPS = int(os.environ.get("NBMF_BENCH_SWEEPS", 50))
 PROBE = 2500
-QUICK = os.environ.get("NBMF_BENCH_QUICK") == "1"
+# Default run: headline (Pallas f32 on TPU / XLA on CPU) + full-size NumPy
+# baseline, ~3-4 min total.  NBMF_BENCH_FULL=1 adds the bf16 and XLA
+# variants (two more ~60-90s tunnel compiles).
+FULL = os.environ.get("NBMF_BENCH_FULL") == "1"
 
 
 def numpy_baseline_sweep_seconds(full: bool = True) -> float:
@@ -126,12 +129,12 @@ def main():
         results["pallas_f32"], losses = _time_variant(
             _solve_core_pallas, (Ymp,) + pargs, pkw
         )
-        if not QUICK:
+        if FULL:
             results["pallas_bf16"], _ = _time_variant(
                 _solve_core_pallas, (Ymp.astype(jnp.bfloat16),) + pargs, pkw
             )
 
-    if not on_tpu or not QUICK:
+    if not on_tpu or FULL:
         jargs = (
             Ym, Ym2, Yc, W0, H0,
             f32(1.2), f32(1.2), f32(0.0), f32(1e-8), f32(M * N), f32(N),
