@@ -2,5 +2,6 @@
 
 from .baselines import LogisticPCA, NBMFEM
 from .estimator import NBMF, NBMFMM
+from .serving import FoldInServer
 
-__all__ = ["NBMF", "NBMFMM", "NBMFEM", "LogisticPCA"]
+__all__ = ["NBMF", "NBMFMM", "NBMFEM", "LogisticPCA", "FoldInServer"]

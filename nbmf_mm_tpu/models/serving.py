@@ -1,0 +1,144 @@
+"""Serving: high-throughput fold-in of new rows against a trained model.
+
+The estimator's ``transform`` (reference ``_base.py:162-199`` semantics)
+recompiles for every new batch shape and round-trips through the host.  For
+production serving — scoring streams of new users/rows against a fixed
+``components_`` — this module provides :class:`FoldInServer`:
+
+- **shape bucketing**: incoming batches are padded up to a small set of
+  power-of-two row counts, so any request shape hits one of a handful of
+  precompiled programs (pad rows are synthesized as all-zero observations
+  with a zero mask and sliced away — they do not affect real rows, whose
+  fold-in is row-independent given fixed H);
+- the fold-in itself is the reference's 50-iteration multiplicative W
+  update, jitted once per bucket, entirely on-device;
+- outputs: the simplex weights ``W`` and optionally the Bernoulli
+  reconstruction / per-row log-likelihood scores.
+
+The per-row independence given a fixed H is what makes this correct:
+each padded row's updates never mix with other rows' (all contractions in
+the fold-in run over the feature axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.updates import fold_in_w_update
+from ..solver.driver import _resolve_dtype, _resolve_precision
+from ..utils.validation import check_is_fitted, densify
+
+__all__ = ["FoldInServer"]
+
+
+@partial(jax.jit, static_argnames=("n_iter", "precision"))
+def _fold_in_batch(H, Ym, Ym2, W0t, eps, *, n_iter: int, precision):
+    """50-iteration fold-in on a padded batch (internal (k, rows) layout)."""
+    n_features = H.shape[1]
+
+    def body(_, Wt):
+        return fold_in_w_update(
+            Wt, H, Ym, Ym2, n_features=n_features, eps=eps, precision=precision
+        )
+
+    Wt = jax.lax.fori_loop(0, n_iter, body, W0t)
+    W = jnp.clip(Wt.T, 1e-8, 1.0)
+    W = W / W.sum(axis=1, keepdims=True)
+    # Per-row mean observed log-likelihood of the reconstruction.
+    R = jnp.matmul(W, H, precision=precision)
+    mask_obs = Ym + Ym2  # observed indicator (1 everywhere when unmasked)
+    ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(1.0 - R + 1e-8)
+    n_obs = jnp.maximum(mask_obs.sum(axis=1), 1.0)
+    return W, ll.sum(axis=1) / n_obs
+
+
+class FoldInServer:
+    """Precompiled, shape-bucketed fold-in against a fitted model.
+
+    Parameters
+    ----------
+    model_or_H : fitted ``NBMF`` estimator or an ``(k, n_features)`` array
+    n_iter : fold-in iterations (reference uses a fixed 50)
+    buckets : ascending row-count buckets; requests pad to the next bucket
+        (and chunk by the largest). Default: 64..8192 powers of two.
+    """
+
+    def __init__(
+        self,
+        model_or_H,
+        *,
+        n_iter: int = 50,
+        buckets: Tuple[int, ...] = (64, 256, 1024, 4096, 8192),
+        random_state: Optional[int] = 0,
+        dtype=None,
+        precision=None,
+    ):
+        if hasattr(model_or_H, "n_components"):  # an estimator
+            check_is_fitted(model_or_H, ["components_"])
+            H = model_or_H.components_
+        else:
+            H = model_or_H
+        self.dtype = _resolve_dtype(dtype)
+        self.precision = _resolve_precision(precision)
+        self.H = jnp.asarray(np.asarray(H), dtype=self.dtype)
+        self.k, self.n_features = self.H.shape
+        self.n_iter = int(n_iter)
+        self.buckets = tuple(sorted(buckets))
+        self.random_state = 0 if random_state is None else int(random_state)
+
+    def _bucket(self, rows: int) -> int:
+        for b in self.buckets:
+            if rows <= b:
+                return b
+        return self.buckets[-1]
+
+    def _serve_chunk(self, X, mask):
+        rows = X.shape[0]
+        b = self._bucket(rows)
+        pad = b - rows
+        Xp = jnp.pad(jnp.asarray(X, dtype=self.dtype), ((0, pad), (0, 0)))
+        if mask is None:
+            mp = jnp.pad(
+                jnp.ones((rows, self.n_features), dtype=self.dtype), ((0, pad), (0, 0))
+            )
+        else:
+            mp = jnp.pad(jnp.asarray(mask, dtype=self.dtype), ((0, pad), (0, 0)))
+        Ym = Xp * mp
+        Ym2 = (1.0 - Xp) * mp
+        key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), b)
+        W0t = jax.random.uniform(
+            key, (self.k, b), dtype=self.dtype, minval=0.1, maxval=0.9
+        )
+        W, scores = _fold_in_batch(
+            self.H, Ym, Ym2, W0t, jnp.asarray(1e-8, dtype=self.dtype),
+            n_iter=self.n_iter, precision=self.precision,
+        )
+        return W[:rows], scores[:rows]
+
+    def transform(self, X, mask=None):
+        """Fold in new rows; returns ``(W, per_row_loglik)`` as numpy arrays.
+
+        Requests larger than the top bucket are chunked.
+        """
+        X = densify(X)
+        if mask is not None:
+            mask = densify(mask)
+        top = self.buckets[-1]
+        Ws, Ss = [], []
+        for start in range(0, X.shape[0], top):
+            sl = slice(start, start + top)
+            W, s = self._serve_chunk(X[sl], None if mask is None else mask[sl])
+            Ws.append(np.asarray(W))
+            Ss.append(np.asarray(s))
+        return np.concatenate(Ws, axis=0), np.concatenate(Ss, axis=0)
+
+    def warmup(self):
+        """Precompile every bucket (one dummy request each)."""
+        for b in self.buckets:
+            self._serve_chunk(np.zeros((b, self.n_features)), None)
+        return self
