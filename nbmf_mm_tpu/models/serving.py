@@ -36,10 +36,25 @@ from ..utils.validation import check_is_fitted, densify
 __all__ = ["FoldInServer"]
 
 
-@partial(jax.jit, static_argnames=("n_iter", "precision"))
-def _fold_in_batch(H, Ym, Ym2, W0t, eps, *, n_iter: int, precision):
-    """50-iteration fold-in on a padded batch (internal (k, rows) layout)."""
+@partial(jax.jit, static_argnames=("n_iter", "precision", "masked"))
+def _fold_in_batch(H, Xp, mask_or_rows, W0t, eps, *, n_iter: int, precision, masked: bool):
+    """Fold-in on a padded batch.
+
+    ``masked=False``: ``mask_or_rows`` is the valid-row count (i32 scalar)
+    and the row-validity mask is synthesized in-program — nothing beyond the
+    data itself crosses the host-device link.  ``masked=True``: it is the
+    (padded) observation mask array.
+    """
     n_features = H.shape[1]
+    if masked:
+        mp = mask_or_rows
+    else:
+        b = Xp.shape[0]
+        mp = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) < mask_or_rows
+        ).astype(Xp.dtype)
+    Ym = Xp * mp
+    Ym2 = (1.0 - Xp) * mp
 
     def body(_, Wt):
         return fold_in_w_update(
@@ -51,9 +66,8 @@ def _fold_in_batch(H, Ym, Ym2, W0t, eps, *, n_iter: int, precision):
     W = W / W.sum(axis=1, keepdims=True)
     # Per-row mean observed log-likelihood of the reconstruction.
     R = jnp.matmul(W, H, precision=precision)
-    mask_obs = Ym + Ym2  # observed indicator (1 everywhere when unmasked)
     ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(1.0 - R + 1e-8)
-    n_obs = jnp.maximum(mask_obs.sum(axis=1), 1.0)
+    n_obs = jnp.maximum((Ym + Ym2).sum(axis=1), 1.0)
     return W, ll.sum(axis=1) / n_obs
 
 
@@ -100,23 +114,25 @@ class FoldInServer:
     def _serve_chunk(self, X, mask):
         rows = X.shape[0]
         b = self._bucket(rows)
-        pad = b - rows
-        Xp = jnp.pad(jnp.asarray(X, dtype=self.dtype), ((0, pad), (0, 0)))
+        # Pad on the HOST (device-side padding would compile one eager op per
+        # novel request shape — ~seconds each through a remote compiler) and
+        # transfer only the data; row validity is synthesized in-program.
+        Xp = np.zeros((b, self.n_features), dtype=np.float32)
+        Xp[:rows] = np.asarray(X)
+        Xp = jnp.asarray(Xp, dtype=self.dtype)
         if mask is None:
-            mp = jnp.pad(
-                jnp.ones((rows, self.n_features), dtype=self.dtype), ((0, pad), (0, 0))
-            )
+            mask_or_rows = jnp.asarray(rows, dtype=jnp.int32)
         else:
-            mp = jnp.pad(jnp.asarray(mask, dtype=self.dtype), ((0, pad), (0, 0)))
-        Ym = Xp * mp
-        Ym2 = (1.0 - Xp) * mp
+            mp = np.zeros((b, self.n_features), dtype=np.float32)
+            mp[:rows] = np.asarray(mask)
+            mask_or_rows = jnp.asarray(mp, dtype=self.dtype)
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), b)
         W0t = jax.random.uniform(
             key, (self.k, b), dtype=self.dtype, minval=0.1, maxval=0.9
         )
         W, scores = _fold_in_batch(
-            self.H, Ym, Ym2, W0t, jnp.asarray(1e-8, dtype=self.dtype),
-            n_iter=self.n_iter, precision=self.precision,
+            self.H, Xp, mask_or_rows, W0t, jnp.asarray(1e-8, dtype=self.dtype),
+            n_iter=self.n_iter, precision=self.precision, masked=mask is not None,
         )
         return W[:rows], scores[:rows]
 
