@@ -7,6 +7,7 @@ from .checkpoint import (
     save_checkpoint,
     save_model,
 )
+from .debugging import enable_nan_checks, nan_checks
 from .profiling import device_memory_stats, sweep_timer, trace
 from .rdata import load_r_matrix, read_rda
 from .synth import generate_synthetic_binary_data
@@ -27,4 +28,6 @@ __all__ = [
     "device_memory_stats",
     "read_rda",
     "load_r_matrix",
+    "enable_nan_checks",
+    "nan_checks",
 ]
