@@ -85,3 +85,34 @@ def test_duchi_solver_keeps_simplex_and_finite(orientation):
 def test_invalid_projection_rejected():
     with pytest.raises(ValueError, match="projection"):
         NBMF(n_components=3, projection="euclid").fit(_toy(10, 8))
+
+
+def test_dir_beta_custom_init_swap_parity():
+    """dir-beta with explicit inits equals beta-dir on X.T with swapped
+    inits (reference _solver.py:113-123 swap semantics), exactly."""
+    from nbmf_mm_tpu import nbmf_mm_solver
+
+    rng = np.random.default_rng(0)
+    X = (rng.random((20, 30)) < 0.3).astype(float)
+    W0 = rng.uniform(0.1, 0.9, (20, 4))
+    H0 = rng.uniform(0.1, 0.9, (4, 30))
+    Wd, Hd, ld, _, _ = nbmf_mm_solver(
+        X, 4, max_iter=15, tol=0.0, orientation="dir-beta", W_init=W0, H_init=H0
+    )
+    Wb, Hb, lb, _, _ = nbmf_mm_solver(
+        X.T, 4, max_iter=15, tol=0.0, orientation="beta-dir", W_init=H0.T, H_init=W0.T
+    )
+    np.testing.assert_allclose(Wd, Hb.T)
+    np.testing.assert_allclose(Hd, Wb.T)
+    np.testing.assert_allclose(ld, lb)
+
+
+def test_dir_beta_single_init_clear_error():
+    """Only one init in dir-beta: the reference doesn't swap and fails with a
+    confusing broadcast error; we raise a clear shape message."""
+    from nbmf_mm_tpu import nbmf_mm_solver
+
+    X = (np.random.default_rng(1).random((20, 30)) < 0.3).astype(float)
+    W0 = np.full((20, 4), 0.5)
+    with pytest.raises(ValueError, match="W_init must have shape"):
+        nbmf_mm_solver(X, 4, max_iter=5, orientation="dir-beta", W_init=W0)
