@@ -153,6 +153,47 @@ def resume_fit(path, X, mask=None, **overrides):
     return model
 
 
+def fit_checkpointed(model, X, path, mask=None, every: int = 100):
+    """Fit ``model`` on ``X`` in segments of ``every`` sweeps, writing a
+    checkpoint after each segment (restartable long fits; the on-device loop
+    itself never leaves the chip, so checkpoints happen at segment
+    boundaries).  Warm starting continues the same MM trajectory (up to
+    rounding from the idempotent re-normalization at segment starts); the
+    relative-change stopping test restarts its one-iteration warmup at each
+    boundary, so stopping can differ by up to one segment.
+    """
+    import copy
+
+    total = model.max_iter
+    seg_model = copy.deepcopy(model)
+    losses: list = []
+    W_init, H_init = model.W_init, model.H_init
+    done = 0
+    while done < total:
+        seg_model.max_iter = min(every, total - done)
+        seg_model.W_init, seg_model.H_init = W_init, H_init
+        seg_model.fit(X, mask=mask)
+        losses.extend(seg_model.loss_curve_)
+        done += seg_model.n_iter_
+        save_checkpoint(
+            path, seg_model.W_, seg_model.components_, losses, done,
+            seed=model.random_state,
+            hyperparams={"alpha": model.alpha, "beta": model.beta,
+                         "orientation": seg_model.orientation,
+                         "n_components": model.n_components},
+        )
+        # Converged inside the segment (stopped before the cap)?
+        if seg_model.n_iter_ < seg_model.max_iter:
+            break
+        W_init, H_init = seg_model.W_, seg_model.components_
+    seg_model.loss_curve_ = losses
+    seg_model.objective_history_ = losses
+    seg_model.n_iter_ = done
+    seg_model.max_iter = total
+    seg_model.W_init, seg_model.H_init = model.W_init, model.H_init
+    return seg_model
+
+
 # ------------------------------------------------------------------- Orbax
 def save_checkpoint_orbax(directory: str, state: dict, *, step: int = 0) -> Optional[str]:
     """Async-capable Orbax checkpoint (multi-host friendly).  Returns the

@@ -55,3 +55,31 @@ def test_resume_continues_descent(tmp_path):
     # Resumed optimization keeps descending from the checkpointed state.
     assert np.all(np.diff(hist) <= 1e-12)
     assert hist[-1] <= hist[4]
+
+
+def test_fit_checkpointed_segments(tmp_path):
+    from nbmf_mm_tpu.utils.checkpoint import fit_checkpointed, load_checkpoint
+
+    X = _toy(seed=9)
+    path = tmp_path / "segmented.npz"
+    model = NBMF(n_components=3, max_iter=60, tol=1e-12, random_state=0)
+    fitted = fit_checkpointed(model, X, path, every=20)
+    assert fitted.n_iter_ == 60
+    assert len(fitted.loss_curve_) == 60
+    hist = np.asarray(fitted.loss_curve_)
+    assert np.all(np.diff(hist) <= 1e-10)  # continues descending across segments
+    ckpt = load_checkpoint(path)
+    assert ckpt["n_iter"] == 60
+    # trajectory ~= uninterrupted fit
+    ref = NBMF(n_components=3, max_iter=60, tol=1e-12, random_state=0).fit(X)
+    np.testing.assert_allclose(hist, ref.loss_curve_, rtol=1e-8)
+
+
+def test_fit_checkpointed_early_convergence(tmp_path):
+    from nbmf_mm_tpu.utils.checkpoint import fit_checkpointed
+
+    X = _toy(seed=10)
+    model = NBMF(n_components=3, max_iter=500, tol=1e-3, random_state=0)
+    fitted = fit_checkpointed(model, X, tmp_path / "c.npz", every=50)
+    assert fitted.n_iter_ < 500
+    assert len(fitted.loss_curve_) == fitted.n_iter_
