@@ -401,11 +401,27 @@ def solve(
     """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
 
     Semantics mirror the reference ``nbmf_mm_solver`` (``_solver.py:61-216``)
-    with the documented TPU-native extensions.  ``n_init > 1`` runs batched
-    random restarts via :mod:`nbmf_mm_tpu.parallel.restarts` and returns the
-    restart with the lowest final objective.  Passing ``mesh`` shards the data
-    and factors over the device mesh with GSPMD (see
-    :mod:`nbmf_mm_tpu.parallel.sharding`).
+    with the documented TPU-native extensions:
+
+    - ``n_init > 1``: batched random restarts (``vmap``-ed over the whole
+      compiled loop); the restart with the lowest final objective is
+      returned, with ``all_final_losses``/``best_restart`` recorded.
+    - ``projection``: ``"normalize"`` (paper-exact MM simplex step) or
+      ``"duchi"`` (sort-based Euclidean projection).
+    - ``mask_mode``: ``"parity"`` (the reference's exact asymmetric masking)
+      or ``"corrected"`` (observed-entries-only; the original paper's
+      objective, fully monotone).
+    - ``dtype``: ``float64`` (CPU parity regime), ``float32``, or
+      ``"bfloat16"`` (bf16 data matrices, f32 factors/accumulation).
+    - ``mesh``/``mesh_axes``: shard data and factors over a 2-D device mesh
+      (GSPMD on the XLA path; shard_map + per-shard fused kernels with
+      explicit psums on the Pallas path).
+    - ``backend``: ``"auto"`` (Pallas on TPU for <= f32, XLA otherwise),
+      ``"jnp"``, or ``"pallas"``; ``block_m``/``block_n`` set the Pallas
+      tile sizes and ``pallas_interpret`` runs the kernels interpreted
+      (CPU testing).
+    - ``Y``/``mask`` may be device-resident ``jax.Array``s (no host
+      round-trip; recommended for repeated large solves).
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
