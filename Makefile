@@ -22,3 +22,6 @@ bench:
 
 lint:
 	python -m compileall -q nbmf_mm_tpu experiments tests bench.py __graft_entry__.py
+
+test-reference:
+	python tools/run_reference_suite.py
