@@ -89,3 +89,20 @@ def test_box_constraints_beta_factor():
     H = m.components_
     eps = 1e-8
     assert np.all(H >= eps * 0.999) and np.all(H <= 1 - eps * 0.999)
+
+
+def test_confidence_weighted_training():
+    """Continuous per-entry confidence weights (WALS-style) pass through the
+    mask parameter; the weighted objective is still an MM scheme in
+    corrected mode (fully monotone).  Parity mode's asymmetric masking is
+    only meaningful for binary masks."""
+    rng = np.random.default_rng(0)
+    X = (rng.random((60, 40)) < 0.3).astype(float)
+    conf = rng.uniform(0.2, 2.0, X.shape)
+    r = NBMF(
+        n_components=4, max_iter=150, tol=1e-9, random_state=0,
+        mask_mode="corrected",
+    ).fit(X, mask=conf)
+    hist = np.asarray(r.loss_curve_)
+    assert np.all(np.diff(hist) <= 1e-12)
+    np.testing.assert_allclose(r.W_.sum(axis=1), 1.0, atol=1e-9)
