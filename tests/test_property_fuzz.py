@@ -27,7 +27,7 @@ def problem(draw):
 
 
 @given(problem())
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 def test_solver_invariants_fuzz(args):
     m, n, k, alpha, beta, p, seed, masked = args
     rng = np.random.default_rng(seed)
@@ -47,7 +47,7 @@ def test_solver_invariants_fuzz(args):
 
 
 @given(st.integers(0, 2**31 - 1), st.integers(1, 5))
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 def test_duchi_projection_fuzz(seed, k):
     from nbmf_mm_tpu.ops.projection import project_columns_simplex_duchi
 
