@@ -119,6 +119,9 @@ class NBMFMM(*_BASES):
         Matmul precision ("default"/"high"/"highest" or lax.Precision).
     mesh : jax.sharding.Mesh, optional
         Shard the factorization over a device mesh with GSPMD.
+    backend : {"auto", "jnp", "pallas"}, default="auto"
+        Compute backend for ``fit``: ``"auto"`` picks the fused Pallas
+        kernels on TPU for <= f32 dtypes and XLA otherwise.
     use_numexpr, use_numba, projection_backend : ignored
         Legacy reference-README flags, accepted for drop-in compatibility.
     """
@@ -142,6 +145,7 @@ class NBMFMM(*_BASES):
         dtype=None,
         precision=None,
         mesh=None,
+        backend="auto",
         use_numexpr=None,
         use_numba=None,
         projection_backend=None,
@@ -163,6 +167,7 @@ class NBMFMM(*_BASES):
         self.dtype = dtype
         self.precision = precision
         self.mesh = mesh
+        self.backend = backend
         self.use_numexpr = use_numexpr
         self.use_numba = use_numba
         self.projection_backend = projection_backend
@@ -199,6 +204,7 @@ class NBMFMM(*_BASES):
             dtype=self.dtype,
             precision=self.precision,
             mesh=self.mesh,
+            backend=self.backend,
         )
 
         self.W_ = result.W

@@ -117,13 +117,16 @@ class FoldInServer:
         # Pad on the HOST (device-side padding would compile one eager op per
         # novel request shape — ~seconds each through a remote compiler) and
         # transfer only the data; row validity is synthesized in-program.
-        Xp = np.zeros((b, self.n_features), dtype=np.float32)
+        # Host staging buffers use self.dtype so f64 serving (continuous
+        # values / weighted masks) is not silently truncated through f32.
+        host_dtype = np.dtype(self.dtype)
+        Xp = np.zeros((b, self.n_features), dtype=host_dtype)
         Xp[:rows] = np.asarray(X)
         Xp = jnp.asarray(Xp, dtype=self.dtype)
         if mask is None:
             mask_or_rows = jnp.asarray(rows, dtype=jnp.int32)
         else:
-            mp = np.zeros((b, self.n_features), dtype=np.float32)
+            mp = np.zeros((b, self.n_features), dtype=host_dtype)
             mp[:rows] = np.asarray(mask)
             mask_or_rows = jnp.asarray(mp, dtype=self.dtype)
         key = jax.random.fold_in(jax.random.PRNGKey(self.random_state), b)

@@ -21,9 +21,13 @@ and keeps every (tile_m, tile_n) temporary in VMEM:
 
 Per full sweep this is 2 reads of the (m, n) data and zero (m, n) writes,
 versus ~10 reads + ~7 writes for the XLA path — the kernels exist purely to
-buy that bandwidth back; the math is bit-compatible with the jnp path (same
-epsilon placement and operation order inside each tile, with ratios formed
-through a shared reciprocal: one VPU divide instead of two).
+buy that bandwidth back; the math is numerically equivalent to the jnp path
+to within 1 ulp (same epsilon placement and operation order inside each
+tile, but ratios are formed through a shared reciprocal — one VPU divide
+instead of two — so ``p = ym * (b * r)`` with ``r = 1/(a*b)`` is not
+bit-identical to ``ym / a``; observed cross-backend trajectory deltas are
+~1e-16, i.e. last-ulp).  Do not rely on bit-exact cross-backend
+reproducibility; same-backend runs remain bit-deterministic.
 
 Layout / padding contract (established by :func:`pad_operands`):
 

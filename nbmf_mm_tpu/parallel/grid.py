@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.updates import precompute_masked_terms
-from ..solver.driver import _resolve_dtype, _resolve_precision, _solve_core
+from ..solver.driver import (
+    _resolve_backend,
+    _resolve_dtype,
+    _resolve_precision,
+    _solve_core,
+)
 
 __all__ = ["grid_solve"]
 
@@ -42,7 +47,7 @@ def grid_solve(
     dtype=None,
     precision=None,
     pair_mode: str = "product",
-    backend: str = "jnp",
+    backend: str = "auto",
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     pallas_interpret: bool = False,
@@ -99,7 +104,10 @@ def grid_solve(
 
     alphas_d = jnp.asarray(a_flat, dtype=dtype)
     betas_d = jnp.asarray(b_flat, dtype=dtype)
-    if backend == "pallas":
+    # "auto" routes to the fused Pallas kernels on TPU for <= f32 (same
+    # resolution rule as driver.solve), so the Figure-1-style grids don't
+    # silently take the slow XLA path on hardware.
+    if _resolve_backend(backend, dtype):
         # Fused-kernel grid: the hyperparameter axis vmaps over the Pallas
         # while_loop exactly like the restart axis does.
         from ..ops import pallas_sweep as ps

@@ -315,13 +315,16 @@ def _solve_core_pallas(
     return W, H, losses, n_iter, final_loss, done
 
 
-def _resolve_backend(backend: str, dtype, mesh) -> bool:
+def _resolve_backend(backend: str, dtype) -> bool:
     """Decide whether to use the fused Pallas sweep path.
 
-    ``auto`` selects Pallas on TPU-like backends with <= f32 dtypes and no
-    mesh (the GSPMD path uses the XLA kernels; a shard_map'd Pallas path is
-    a future optimization).  ``pallas`` forces it (with ``pallas_interpret``
-    it runs anywhere, used by the parity tests on CPU).
+    ``auto`` selects Pallas on TPU-like backends for <= f32 dtypes — both
+    single-chip (``_solve_core_pallas``) and, when a ``mesh`` is given, the
+    shard_map + per-shard-Pallas multi-chip path (``solve_core_sharded``);
+    the routing between those happens in :func:`solve` on ``mesh``.
+    ``pallas`` forces it (with ``pallas_interpret`` it runs anywhere, used
+    by the parity tests on CPU); f64 always takes the XLA kernels (Mosaic
+    has no f64).
     """
     if backend == "jnp":
         return False
@@ -429,6 +432,13 @@ def solve(
         )
     if projection not in ("normalize", "duchi"):
         raise ValueError(f"projection must be 'normalize' or 'duchi', got {projection!r}")
+    if mask_mode not in ("parity", "corrected"):
+        # Validated up front for every backend: the Pallas path encodes the
+        # mode in which operands it builds, so a typo would otherwise silently
+        # fall back to parity semantics on TPU while raising on CPU.
+        raise ValueError(
+            f"mask_mode must be 'parity' or 'corrected', got {mask_mode!r}"
+        )
     if n_init < 1:
         raise ValueError(f"n_init must be >= 1, got {n_init}")
 
@@ -509,9 +519,17 @@ def solve(
         n_obs = jnp.array(Y.size, dtype=dtype)
     else:
         n_obs = jnp.count_nonzero(mask).astype(dtype)
+        if float(n_obs) == 0.0:
+            # Pinned contract (the reference divides by zero silently,
+            # _solver.py:162): a mask with no observed entries makes the
+            # per-entry objective undefined — reject it up front.
+            raise ValueError(
+                "mask has no observed entries (all zeros): the per-entry "
+                "objective is undefined with n_obs == 0"
+            )
     n_real = jnp.array(n, dtype=dtype)
 
-    use_pallas = _resolve_backend(backend, dtype, mesh)
+    use_pallas = _resolve_backend(backend, dtype)
 
     if use_pallas and mesh is None:
         # Memory-frugal operand construction for the fused kernels: build

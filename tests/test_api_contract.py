@@ -116,3 +116,33 @@ def test_reconstruction_quality(tiny_clusters):
     Xr = m.inverse_transform(m.W_)
     err = np.mean((Xr > 0.5).astype(float) != X)
     assert err < 0.4
+
+
+def test_invalid_mask_mode_rejected_every_backend():
+    """mask_mode typos must raise on every backend up front (ADVICE round 1:
+    the Pallas path used to silently fall back to parity semantics)."""
+    from nbmf_mm_tpu import solve
+
+    X = _toy(12, 9, 0.3)
+    mask = np.ones_like(X)
+    for backend in ("jnp", "pallas", "auto"):
+        with pytest.raises(ValueError, match="mask_mode"):
+            solve(X, 2, max_iter=3, mask=mask, mask_mode="correctd",
+                  backend=backend, pallas_interpret=True)
+    with pytest.raises(ValueError, match="mask_mode"):
+        NBMF(n_components=2, max_iter=3, mask_mode="bogus").fit(X, mask=mask)
+
+
+def test_estimator_backend_param():
+    """The estimator exposes `backend` and forwards it to the solver; a
+    forced interpret-mode check goes through solve() directly (the Pallas
+    estimator path on CPU requires interpret, which fit doesn't expose)."""
+    from nbmf_mm_tpu import solve
+
+    X = _toy(20, 15, 0.3)
+    m_jnp = NBMF(n_components=3, max_iter=20, random_state=0, backend="jnp").fit(X)
+    m_auto = NBMF(n_components=3, max_iter=20, random_state=0).fit(X)
+    assert m_auto.backend == "auto"
+    np.testing.assert_allclose(m_jnp.W_, m_auto.W_)  # auto == jnp on CPU
+    with pytest.raises(ValueError, match="backend"):
+        solve(X, 2, max_iter=3, backend="cuda")

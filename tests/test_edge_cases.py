@@ -60,13 +60,17 @@ def test_all_masked_out_column():
     assert np.all(np.isfinite(r.losses))
 
 
-def test_empty_mask_rejected_or_finite():
-    """mask of all zeros => n_obs == 0; loss is inf/nan-prone — the solver
-    must not crash (reference divides by zero silently)."""
+def test_empty_mask_raises():
+    """Pinned n_obs == 0 contract: an all-zero mask makes the per-entry
+    objective undefined, so the solver raises a clear ValueError up front
+    (the reference divides by zero silently, _solver.py:162)."""
     X = (np.random.default_rng(5).random((10, 8)) < 0.4).astype(float)
     mask = np.zeros_like(X)
-    r = solve(X, 2, max_iter=5, random_state=0, mask=mask)
-    assert r.W.shape == (10, 2)  # shapes intact even if losses are nan
+    with pytest.raises(ValueError, match="no observed entries"):
+        solve(X, 2, max_iter=5, random_state=0, mask=mask)
+    # Same contract through the estimator path.
+    with pytest.raises(ValueError, match="no observed entries"):
+        NBMF(n_components=2, max_iter=5, random_state=0).fit(X, mask=mask)
 
 
 def test_pallas_edge_shapes():
