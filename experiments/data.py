@@ -92,6 +92,26 @@ def compute_perplexity(Y, Y_hat, mask=None, eps: float = 1e-8) -> float:
     return float(np.exp(-np.sum(mask * log_lik) / np.count_nonzero(mask)))
 
 
+def magron_test_init(name: str, method: str):
+    """Stored 10-init test protocol results from the original paper author's
+    artifacts (``outputs/magron2022/<ds>/<method>_test_init.npz``:
+    ``test_pplx`` is per-entry NLL over 10 random inits).  Returns a dict
+    with ``mean``/``std``/``iters`` (log-NLL units) or ``None`` if absent.
+    ``method`` is one of ``"NBMF-MM"``, ``"NBMF-EM"``, ``"logPCA"``.
+    """
+    path = MAGRON_OUTPUTS / name / f"{method}_test_init.npz"
+    if not path.exists():
+        return None
+    with np.load(path, allow_pickle=True) as z:
+        pplx = np.asarray(z["test_pplx"], dtype=float)
+        iters = np.asarray(z["test_iter"], dtype=float)
+    return {
+        "mean": float(pplx.mean()),
+        "std": float(pplx.std()),
+        "iters": float(iters.mean()),
+    }
+
+
 def magron_best_val_logpplx(name: str, k: int):
     """Best stored validation log-perplexity from the original paper author's
     artifacts for rank ``k`` (``outputs/magron2022/<ds>/NBMF-MM_val.npz``:

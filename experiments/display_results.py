@@ -30,12 +30,20 @@ OUTDIR = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(__file__).parent.paren
 DATASETS = ("animals", "lastfm", "paleo")
 
 
+def _coerce(key, value):
+    if key == "dataset":
+        return value
+    if value in ("True", "False"):
+        return value == "True"
+    try:
+        return float(value)
+    except ValueError:
+        return value
+
+
 def _read_csv(path: Path):
     with open(path) as f:
-        return [
-            {k: (v if k == "dataset" else float(v)) for k, v in row.items()}
-            for row in csv.DictReader(f)
-        ]
+        return [{k: _coerce(k, v) for k, v in row.items()} for row in csv.DictReader(f)]
 
 
 def figure1_heatmaps():
@@ -87,6 +95,42 @@ def figure2_bars():
     print(f"wrote {OUTDIR / 'figure2_bars.png'}")
 
 
+def figure2_protocol_bars():
+    """10-init protocol comparison (test per-entry NLL, mean +- std over 10
+    random inits) of all three methods against the original paper author's
+    stored artifact means — the direct analogue of the paper's Figure 2."""
+    path = OUTDIR / "figure2_results.csv"
+    if not path.exists():
+        return
+    rows = _read_csv(path)
+    if "mm10_test_nll_mean" not in rows[0]:
+        return
+    methods = [
+        ("NBMF-MM", "mm10_test_nll_mean", "mm10_test_nll_std", "magron_mm_test_nll_mean"),
+        ("NBMF-EM", "nbmf_em_test_nll_mean", "nbmf_em_test_nll_std",
+         "magron_nbmf_em_test_nll_mean"),
+        ("logPCA", "logpca_test_nll_mean", "logpca_test_nll_std",
+         "magron_logpca_test_nll_mean"),
+    ]
+    ds = [r["dataset"] for r in rows]
+    fig, axes = plt.subplots(1, len(ds), figsize=(4 * len(ds), 4), squeeze=False)
+    for ax, r in zip(axes[0], rows):
+        names = [m[0] for m in methods if m[1] in r]
+        ours = [r[m[1]] for m in methods if m[1] in r]
+        errs = [r[m[2]] for m in methods if m[1] in r]
+        refs = [r[m[3]] for m in methods if m[1] in r]
+        x = np.arange(len(names))
+        ax.bar(x - 0.2, ours, 0.4, yerr=errs, capsize=3, label="nbmf-mm-tpu")
+        ax.bar(x + 0.2, refs, 0.4, label="Magron 2022 artifacts")
+        ax.set_xticks(x, names)
+        ax.set_ylabel("test NLL / observed entry")
+        ax.set_title(f"{r['dataset']}: 10-init protocol")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(OUTDIR / "figure2_protocol.png", dpi=120)
+    print(f"wrote {OUTDIR / 'figure2_protocol.png'}")
+
+
 def figure3_curves():
     paths = [(ds, OUTDIR / f"figure3_{ds}_results.csv") for ds in DATASETS]
     avail = [(ds, p) for ds, p in paths if p.exists()]
@@ -119,5 +163,6 @@ def summary_table():
 if __name__ == "__main__":
     figure1_heatmaps()
     figure2_bars()
+    figure2_protocol_bars()
     figure3_curves()
     summary_table()

@@ -39,11 +39,13 @@ from experiments.data import (  # noqa: E402
     compute_perplexity,
     load_dataset_and_splits,
     magron_best_val_logpplx,
+    magron_test_init,
 )
-from nbmf_mm_tpu import NBMF  # noqa: E402
+from nbmf_mm_tpu import NBMF, solve  # noqa: E402
 from nbmf_mm_tpu.parallel.grid import grid_solve  # noqa: E402
 
 SEED = 12345
+N_INIT = 10  # the paper's test protocol: mean +- std over 10 random inits
 ALPHA_GRID = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
 BETA_GRID = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
 FIG1_K = {"animals": 4, "lastfm": 8, "paleo": 4}
@@ -52,12 +54,36 @@ FIG2_PARAMS = {
     "lastfm": {"alpha": 1.0, "beta": 1.0, "k": 8},
     "paleo": {"alpha": 2.0, "beta": 2.0, "k": 4},
 }
+# The original paper author's best hyperparameters [K, alpha, beta] (from
+# /root/reference/outputs/magron2022/<ds>/NBMF-MM_model.npz hyper_params)
+# and per-method best K (from the *_val.npz grids) — the 10-init protocol
+# runs at these to be directly comparable with *_test_init.npz.
+MAGRON_MM_PARAMS = {
+    "animals": {"k": 4, "alpha": 1.6, "beta": 1.0},
+    "lastfm": {"k": 4, "alpha": 1.6, "beta": 1.4},
+    "paleo": {"k": 4, "alpha": 1.2, "beta": 1.6},
+}
+BASELINE_K = {
+    "NBMF-EM": {"animals": 16, "lastfm": 2, "paleo": 16},
+    "logPCA": {"animals": 2, "lastfm": 4, "paleo": 4},
+}
+# lastfm's chauhan2025 run hits max_iter=1000 without converging (916 iters
+# at a looser interim tol; VERDICT r1 weak #5) — run it with headroom and
+# report n_iter/converged honestly.
+FIG2_MAX_ITER = {"animals": 1000, "lastfm": 3000, "paleo": 1000}
 FIG3_KS = [2, 4, 8, 16]
 FIG3_PARAMS = {
     "animals": {"alpha": 2.0, "beta": 2.0},
     "lastfm": {"alpha": 1.0, "beta": 1.0},
     "paleo": {"alpha": 2.0, "beta": 2.0},
 }
+
+
+def _obs_nll(Y, P, mask, eps=1e-8):
+    """Per-observed-entry Bernoulli NLL — the artifact protocol's metric
+    (log-perplexity units; ``exp()`` of this is ``compute_perplexity``)."""
+    ll = Y * np.log(P + eps) + (1 - Y) * np.log(1 - P + eps)
+    return float(-np.sum(mask * ll) / np.count_nonzero(mask))
 
 
 def _write_csv(path: Path, rows):
@@ -108,18 +134,76 @@ def run_figure1(datasets, outdir: Path, dtype):
         _write_csv(outdir / f"figure1_{ds}_results.csv", rows)
 
 
-def _baseline_perplexities(Y, train_mask, test_mask, k, dtype):
-    """Fit the paper's two comparison baselines from scratch (the reference
-    only reads stored artifacts for these)."""
+def _mm_10init_protocol(Y, train_mask, test_mask, ds, dtype):
+    """The paper's 10-init test protocol for NBMF-MM at the original
+    author's best hyperparameters, as ONE batched solve: all 10 restarts
+    advance in lockstep inside a single compiled while_loop
+    (``n_init=10, return_all=True``), then each restart's model is scored
+    on the test entries — directly comparable to ``NBMF-MM_test_init.npz``.
+    """
+    p = MAGRON_MM_PARAMS[ds]
+    t0 = time.time()
+    res = solve(
+        Y,
+        p["k"],
+        alpha=p["alpha"],
+        beta=p["beta"],
+        max_iter=FIG2_MAX_ITER[ds],
+        tol=1e-5,
+        mask=train_mask,
+        random_state=SEED,
+        n_init=N_INIT,
+        return_all=True,
+        dtype=dtype,
+    )
+    batch_time = time.time() - t0
+    nlls = np.array(
+        [
+            _obs_nll(Y, res.extras["all_W"][i] @ res.extras["all_H"][i], test_mask)
+            for i in range(N_INIT)
+        ]
+    )
+    ref = magron_test_init(ds, "NBMF-MM") or {}
+    return {
+        "mm10_test_nll_mean": float(nlls.mean()),
+        "mm10_test_nll_std": float(nlls.std()),
+        "mm10_iters_mean": float(res.extras["all_n_iter"].mean()),
+        "mm10_batch_time": batch_time,
+        "magron_mm_test_nll_mean": ref.get("mean", float("nan")),
+        "magron_mm_test_nll_std": ref.get("std", float("nan")),
+    }
+
+
+def _baseline_10init_protocol(Y, train_mask, test_mask, ds, dtype):
+    """10-init protocol for the two comparison baselines at the artifact's
+    per-method best K (the reference only reads stored artifacts for
+    these; we refit from scratch — see models/baselines.py for the
+    artifact-identified algorithms)."""
     from nbmf_mm_tpu.models import NBMFEM, LogisticPCA
 
     out = {}
-    em = NBMFEM(n_components=k, max_iter=1000, tol=1e-5, random_state=SEED, dtype=dtype)
-    em.fit(Y, mask=train_mask)
-    out["nbmf_em_test_perplexity"] = compute_perplexity(Y, em.reconstruction(), test_mask)
-    lp = LogisticPCA(n_components=k, max_iter=1000, random_state=SEED, dtype=dtype)
-    lp.fit(Y, mask=train_mask)
-    out["logpca_test_perplexity"] = compute_perplexity(Y, lp.reconstruction(), test_mask)
+    for method, cls, kwargs in [
+        ("NBMF-EM", NBMFEM, dict(max_iter=500, tol=1e-5)),
+        ("logPCA", LogisticPCA, dict(max_iter=1000, tol=1e-5)),
+    ]:
+        k = BASELINE_K[method][ds]
+        nlls, iters = [], []
+        for seed in range(N_INIT):
+            m = cls(n_components=k, random_state=seed, dtype=dtype, **kwargs)
+            m.fit(Y, mask=train_mask)
+            nlls.append(_obs_nll(Y, m.reconstruction(), test_mask))
+            iters.append(m.n_iter_)
+        ref = magron_test_init(ds, method) or {}
+        tag = method.lower().replace("-", "_")
+        out.update(
+            {
+                f"{tag}_k": k,
+                f"{tag}_test_nll_mean": float(np.mean(nlls)),
+                f"{tag}_test_nll_std": float(np.std(nlls)),
+                f"{tag}_iters_mean": float(np.mean(iters)),
+                f"magron_{tag}_test_nll_mean": ref.get("mean", float("nan")),
+            }
+        )
     return out
 
 
@@ -134,7 +218,7 @@ def run_figure2(datasets, outdir: Path, dtype, with_baselines: bool = True):
             alpha=p["alpha"],
             beta=p["beta"],
             orientation="beta-dir",
-            max_iter=1000,
+            max_iter=FIG2_MAX_ITER[ds],
             tol=1e-5,
             random_state=SEED,
             dtype=dtype,
@@ -155,22 +239,35 @@ def run_figure2(datasets, outdir: Path, dtype, with_baselines: bool = True):
                 float(np.exp(magron_nll)) if magron_nll is not None else float("nan")
             ),
             "n_iter": model.n_iter_,
+            "converged": model.converged_,
             "time": fit_time,
         }
+        row.update(_mm_10init_protocol(Y, train_mask, test_mask, ds, dtype))
         if with_baselines:
-            row.update(_baseline_perplexities(Y, train_mask, test_mask, p["k"], dtype))
+            row.update(_baseline_10init_protocol(Y, train_mask, test_mask, ds, dtype))
         rows.append(row)
         print(
             f"{ds}: test_pplx={test_pplx:.4f} "
-            f"(magron best-val={row['magron_best_val_perplexity']:.4f}"
-            + (
-                f", NBMF-EM={row['nbmf_em_test_perplexity']:.4f}"
-                f", logPCA={row['logpca_test_perplexity']:.4f}"
-                if with_baselines
-                else ""
-            )
-            + f") iters={model.n_iter_} time={fit_time:.2f}s"
+            f"(magron best-val={row['magron_best_val_perplexity']:.4f}) "
+            f"iters={model.n_iter_} converged={model.converged_} time={fit_time:.2f}s"
         )
+        print(
+            f"  10-init MM:  test NLL {row['mm10_test_nll_mean']:.4f}"
+            f"+-{row['mm10_test_nll_std']:.4f} "
+            f"(magron {row['magron_mm_test_nll_mean']:.4f}"
+            f"+-{row['magron_mm_test_nll_std']:.4f}) "
+            f"iters~{row['mm10_iters_mean']:.0f} "
+            f"[one batched solve, {row['mm10_batch_time']:.1f}s]"
+        )
+        if with_baselines:
+            print(
+                f"  10-init EM:  test NLL {row['nbmf_em_test_nll_mean']:.4f}"
+                f"+-{row['nbmf_em_test_nll_std']:.4f} "
+                f"(magron {row['magron_nbmf_em_test_nll_mean']:.4f}) "
+                f"| logPCA: {row['logpca_test_nll_mean']:.4f}"
+                f"+-{row['logpca_test_nll_std']:.4f} "
+                f"(magron {row['magron_logpca_test_nll_mean']:.4f})"
+            )
         np.savez(
             outdir / f"figure2_{ds}_model.npz",
             W=model.W_,

@@ -21,7 +21,12 @@ Public import surface mirrors the reference (``src/nbmf_mm/__init__.py:17``):
 ``NBMFMM``, ``NBMF``, ``nbmf_mm_solver`` — plus the richer :func:`solve`.
 """
 
-from ._version import __version__
+try:
+    # Written by setuptools_scm at build time (version_file in
+    # pyproject.toml); the committed copy is a dev fallback.
+    from ._version import __version__
+except ImportError:  # pragma: no cover
+    __version__ = "0.0.0.dev0"
 from .models.estimator import NBMF, NBMFMM
 from .solver.driver import SolverResult, nbmf_mm_solver, solve
 

@@ -355,13 +355,17 @@ def w_terms(
             col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
             ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
         q = ym2 * (a * r)
-        # T += H @ P.T + (1-H) @ Q.T, contracting the n axis of both operands.
-        one_minus_h = (1.0 - h.astype(acc)).astype(mxu)
+        # T += H @ P.T + (1-H) @ Q.T, contracting the n axis of both
+        # operands.  Rewritten as ONE matmul + a rank-1 VPU reduction:
+        #   (1-H) @ Q.T = 1 @ Q.T - H @ Q.T, and (1 @ Q.T)_{k,m} = sum_n q
+        # is the same row for every k — so
+        #   T += H @ (P - Q).T + broadcast(sum_n Q).
+        # Exact identity (no eps approximation); cuts the sweep's MXU work
+        # by one of six matmuls (the f32 MXU is the measured bottleneck).
         t_ref[...] += jax.lax.dot_general(
-            h, p.astype(mxu), (((1,), (1,)), ((), ())), preferred_element_type=acc
-        ) + jax.lax.dot_general(
-            one_minus_h, q.astype(mxu), (((1,), (1,)), ((), ())), preferred_element_type=acc
-        )
+            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        ) + jnp.sum(q, axis=1)[None, :]
 
     in_specs = [
         pl.BlockSpec((k, bm), lambda i, j: (0, i), memory_space=_VMEM),  # W
@@ -377,7 +381,7 @@ def w_terms(
         out_specs=pl.BlockSpec((k, bm), lambda i, j: (0, i), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=6 * Mp * Np * k,
+            flops=4 * Mp * Np * k,
             bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
             transcendentals=0,
         ),
@@ -460,6 +464,199 @@ def loglik_sum(
     )
     args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
     return call(*args)[0, 0]
+
+
+# --------------------------------------------- resident-operand variants
+#
+# At small-to-moderate rank (k <= ~256) every (k, Mp)/(k, Np) operand fits
+# comfortably in VMEM (k=128, M=N=10^4 f32: 5.2 MB each), so instead of
+# re-fetching W/H tiles per grid step and revisiting blocked accumulators,
+# these variants pin W, H and the (k, ·) outputs in VMEM for the whole grid
+# (constant index maps) and stream ONLY the (m, n) data tiles from HBM.
+# Per grid step that removes the W/H tile DMAs and shrinks the step to
+# one data-tile fetch + compute — attacking the round-1 "revisited-
+# accumulator grid" headroom named in docs/performance.md.
+
+
+def hloss_terms_resident(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    Ym: jnp.ndarray,
+    Yc: Optional[jnp.ndarray] = None,
+    *,
+    eps: float = 1e-8,
+    m_real: int,
+    n_real: int,
+    block_m: int = DEFAULT_BLOCK,
+    block_n: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Fused H-update + loss pass with VMEM-resident W/H/Num/Den.
+
+    Semantics identical to :func:`hloss_terms`; layout differs only in
+    where operands live during the grid.
+    """
+    k, Mp = W.shape
+    _, Np = H.shape
+    bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
+    grid = (Np // bn, Mp // bm)  # m innermost (same accumulation order)
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+    explicit_yc = Yc is not None
+
+    def kernel(*refs):
+        if explicit_yc:
+            w_ref, h_ref, ym_ref, yc_ref, num_ref, den_ref, ll_ref = refs
+        else:
+            w_ref, h_ref, ym_ref, num_ref, den_ref, ll_ref = refs
+            yc_ref = None
+
+        i, j = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _init():
+            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
+            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
+            ll_ref[0, 0] = jnp.zeros((), acc)
+
+        w = w_ref[:, pl.ds(pl.multiple_of(j * bm, bm), bm)].astype(mxu)
+        h = h_ref[:, pl.ds(pl.multiple_of(i * bn, bn), bn)].astype(mxu)
+        ym = ym_ref[...].astype(acc)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
+        q = yc * (a * r)
+        nsl = pl.ds(pl.multiple_of(i * bn, bn), bn)
+        num_ref[:, nsl] += jax.lax.dot_general(
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        den_ref[:, nsl] += jax.lax.dot_general(
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        ll = ym * jnp.log(a) + yc * jnp.log(b)
+        row = j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        col = i * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        valid = jnp.logical_and(row < m_real, col < n_real)
+        ll_ref[0, 0] += jnp.sum(jnp.where(valid, ll, 0.0))
+
+    in_specs = [
+        pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),  # W resident
+        pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM),  # Ym streamed
+    ]
+    if explicit_yc:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=_SMEM if pltpu else pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Mp * Np * k,
+            bytes_accessed=Mp * Np * 4 * (2 if explicit_yc else 1),
+            transcendentals=2 * Mp * Np,
+        ),
+        interpret=interpret,
+    )
+    args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
+    Num, Den, ll = call(*args)
+    return Num, Den, ll[0, 0]
+
+
+def w_terms_resident(
+    W: jnp.ndarray,
+    H_new: jnp.ndarray,
+    Ym: jnp.ndarray,
+    Ym2: Optional[jnp.ndarray] = None,
+    *,
+    n_real: int,
+    eps: float = 1e-8,
+    block_m: int = DEFAULT_BLOCK,
+    block_n: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W-update contraction with VMEM-resident W/H/T (see
+    :func:`hloss_terms_resident`); semantics identical to :func:`w_terms`."""
+    k, Mp = W.shape
+    _, Np = H_new.shape
+    bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
+    grid = (Mp // bm, Np // bn)  # n innermost (same accumulation order)
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+    explicit_ym2 = Ym2 is not None
+
+    def kernel(*refs):
+        if explicit_ym2:
+            w_ref, h_ref, ym_ref, ym2_ref, t_ref = refs
+        else:
+            w_ref, h_ref, ym_ref, t_ref = refs
+            ym2_ref = None
+
+        i, j = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(jnp.logical_and(i == 0, j == 0))
+        def _init():
+            t_ref[...] = jnp.zeros(t_ref.shape, t_ref.dtype)
+
+        msl = pl.ds(pl.multiple_of(i * bm, bm), bm)
+        w = w_ref[:, msl].astype(mxu)
+        h = h_ref[:, pl.ds(pl.multiple_of(j * bn, bn), bn)].astype(mxu)
+        ym = ym_ref[...].astype(acc)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
+        if explicit_ym2:
+            ym2 = ym2_ref[...].astype(acc)
+        else:
+            col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+            ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
+        q = ym2 * (a * r)
+        # Same one-matmul identity as w_terms: H @ (P-Q).T + bcast(sum_n Q).
+        t_ref[:, msl] += jax.lax.dot_general(
+            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        ) + jnp.sum(q, axis=1)[None, :]
+
+    in_specs = [
+        pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),  # W resident
+        pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=_VMEM),  # Ym streamed
+    ]
+    if explicit_ym2:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Np * k,
+            bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    args = (W, H_new, Ym) + ((Ym2,) if explicit_ym2 else ())
+    return call(*args)
 
 
 # ------------------------------------------------------------- padding glue

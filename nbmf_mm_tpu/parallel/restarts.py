@@ -21,13 +21,16 @@ import jax.numpy as jnp
 __all__ = ["vmapped_solve"]
 
 
-def vmapped_solve(core, data, inits, hypers):
+def vmapped_solve(core, data, inits, hypers, keep_all: bool = False):
     """Run ``core`` (the staged single-init solver) over a batch of inits.
 
     ``inits = (W0, H0)`` carry a leading ``n_init`` axis; ``data`` arrays and
     ``hypers`` scalars are broadcast.  Returns ``(best_result, best_index,
-    all_final_losses)`` where ``best_result`` matches the single-init output
-    structure for the restart with the lowest final objective.
+    all_final_losses, all_results)`` where ``best_result`` matches the
+    single-init output structure for the restart with the lowest final
+    objective, and ``all_results`` is the full batched tuple when
+    ``keep_all`` (for protocols that evaluate every restart, e.g. the
+    paper's 10-init mean +- std tables) and ``None`` otherwise.
     """
     batched = jax.vmap(
         core,
@@ -37,4 +40,4 @@ def vmapped_solve(core, data, inits, hypers):
     final_losses = results[4]
     best = int(jnp.argmin(final_losses))
     best_result = jax.tree.map(lambda x: x[best], results)
-    return best_result, best, final_losses
+    return best_result, best, final_losses, results if keep_all else None

@@ -400,6 +400,7 @@ def solve(
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     pallas_interpret: bool = False,
+    return_all: bool = False,
 ) -> SolverResult:
     """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
 
@@ -425,6 +426,11 @@ def solve(
       (CPU testing).
     - ``Y``/``mask`` may be device-resident ``jax.Array``s (no host
       round-trip; recommended for repeated large solves).
+    - ``return_all``: with ``n_init > 1``, additionally return every
+      restart's factors/trace in ``extras`` (``all_W (n_init, m, k)``,
+      ``all_H (n_init, k, n)``, ``all_n_iter``, ``all_losses``) — the
+      paper's 10-init evaluation protocol needs per-init models, not just
+      the best one.  Single-chip paths only.
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
@@ -574,6 +580,11 @@ def solve(
     if use_pallas and mesh is not None:
         # Multi-chip fast path: per-shard fused kernels + explicit psums;
         # the n_init restart axis is vmapped inside the shard_map.
+        if return_all:
+            raise ValueError(
+                "return_all is not supported on the shard_map Pallas path; "
+                "use the GSPMD path (backend='jnp') with a mesh instead"
+            )
         from ..ops import pallas_sweep as ps
         from .sharded import solve_core_sharded
 
@@ -658,6 +669,10 @@ def solve(
             n_real,
         )
 
+    if return_all and n_init <= 1:
+        raise ValueError("return_all requires n_init > 1")
+
+    all_results = None
     if n_init == 1:
         W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev = core(
             *data, inits[0][0], inits[1][0], *hypers
@@ -667,19 +682,40 @@ def solve(
     else:
         from ..parallel.restarts import vmapped_solve
 
-        (W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev), best, all_final = (
-            vmapped_solve(core, data, inits, hypers)
-        )
+        (
+            (W_dev, H_dev, losses_dev, n_iter_dev, final_loss_dev, done_dev),
+            best,
+            all_final,
+            all_results,
+        ) = vmapped_solve(core, data, inits, hypers, keep_all=return_all)
 
     if use_pallas:
         W_dev = W_dev[:, :m]
         H_dev = H_dev[:, :n]
 
-    return _package_result(
+    result = _package_result(
         W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
         transposed=transposed, verbose=verbose, max_iter=max_iter,
         t_start=t_start, seed=seed,
     )
+    if all_results is not None:
+        aW, aH, a_losses, a_niter, _, a_done = all_results
+        aW = np.asarray(aW)  # internal (n_init, k, m), possibly padded
+        aH = np.asarray(aH)
+        if use_pallas:
+            aW, aH = aW[:, :, :m], aH[:, :, :n]
+        all_W = np.swapaxes(aW, 1, 2)  # external (n_init, m, k)
+        all_H = aH
+        if transposed:
+            all_W, all_H = np.swapaxes(all_H, 1, 2), np.swapaxes(all_W, 1, 2)
+        result.extras.update(
+            all_W=all_W,
+            all_H=all_H,
+            all_n_iter=np.asarray(a_niter),
+            all_losses=np.asarray(a_losses),
+            all_converged=np.asarray(a_done),
+        )
+    return result
 
 
 def _package_result(

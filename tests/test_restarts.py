@@ -48,3 +48,30 @@ def test_n_init_with_mask_monotone():
     mask = (np.random.default_rng(4).random(X.shape) < 0.9).astype(float)
     res = solve(X, 3, max_iter=60, random_state=0, n_init=4, mask=mask)
     assert np.all(np.diff(res.losses) <= 1e-12)
+
+
+def test_return_all_restarts():
+    """return_all exposes every restart's model (the paper's 10-init
+    protocol needs per-init factors, not just the best)."""
+    X = _toy()
+    res = solve(X, 3, max_iter=60, random_state=0, n_init=4, return_all=True)
+    ex = res.extras
+    assert ex["all_W"].shape == (4, 40, 3) and ex["all_H"].shape == (4, 3, 30)
+    assert ex["all_n_iter"].shape == (4,) and ex["all_losses"].shape == (4, 60)
+    # best restart's factors must equal the packaged result
+    np.testing.assert_allclose(ex["all_W"][res.best_restart], res.W, atol=1e-9)
+    # every restart satisfies the simplex constraint
+    for i in range(4):
+        np.testing.assert_allclose(ex["all_W"][i].sum(axis=1), 1.0, atol=1e-8)
+    with pytest.raises(ValueError, match="return_all"):
+        solve(X, 3, n_init=1, return_all=True)
+
+
+def test_return_all_dir_beta_orientation():
+    X = _toy(seed=7)
+    res = solve(X, 3, max_iter=40, random_state=1, n_init=3,
+                return_all=True, orientation="dir-beta")
+    ex = res.extras
+    assert ex["all_W"].shape == (3, 40, 3) and ex["all_H"].shape == (3, 3, 30)
+    for i in range(3):
+        np.testing.assert_allclose(ex["all_H"][i].sum(axis=0), 1.0, atol=1e-8)
