@@ -263,6 +263,19 @@ class NBMFMM(*_BASES):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x7F01)
         W0t = jax.random.uniform(key, (k, m), dtype=dtype, minval=0.1, maxval=0.9)
 
+        if self.mesh is not None:
+            # GSPMD fold-in: batch rows over the first mesh axis, features
+            # over the second; XLA inserts the feature-axis psums of the
+            # fold-in contraction automatically.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rows_ax, cols_ax = getattr(self, "mesh_axes", ("rows", "cols"))
+            xsh = NamedSharding(self.mesh, P(rows_ax, cols_ax))
+            Ym = jax.device_put(Ym, xsh)
+            Ym2 = jax.device_put(Ym2, xsh)
+            H = jax.device_put(H, NamedSharding(self.mesh, P(None, cols_ax)))
+            W0t = jax.device_put(W0t, NamedSharding(self.mesh, P(None, rows_ax)))
+
         W = _transform_core(
             H, Ym, Ym2, W0t, jnp.asarray(1e-8, dtype=dtype), n_iter=50, precision=precision
         )

@@ -203,9 +203,14 @@ def hloss_terms(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    stripe: bool = False,
 ):
     """One fused pass computing BOTH the H-update contractions and the
     Bernoulli log-likelihood of the *current* ``(W, H)``.
+
+    ``stripe=True`` delegates to :func:`hloss_terms_stripe` (full-width
+    data stripes with VMEM-resident factors/outputs — the HBM-stream-floor
+    layout; ``block_n`` is ignored there).
 
     The loss the reference reports for sweep ``t`` is evaluated on the
     factors that the next sweep's H pass reads again — the same ``W.T @ H``
@@ -215,6 +220,11 @@ def hloss_terms(
     Returns ``(Num, Den, ll_sum)`` with ``ll_sum`` a (1, 1) scalar over the
     real (m, n) region only.
     """
+    if stripe:
+        return hloss_terms_stripe(
+            W, H, Ym, Yc, eps=eps, m_real=m_real, n_real=n_real,
+            block_m=block_m, interpret=interpret,
+        )
     k, Mp = W.shape
     _, Np = H.shape
     bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
@@ -312,13 +322,20 @@ def w_terms(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    stripe: bool = False,
 ) -> jnp.ndarray:
     """Fused W-update contraction ``T (k, Mp)`` on padded operands.
 
     ``Ym2=None`` means unmasked data: the complement ``1 - Ym`` is formed
     in-register with an iota validity mask so zero-padded columns beyond
-    ``n_real`` contribute exactly nothing.
+    ``n_real`` contribute exactly nothing.  ``stripe=True`` delegates to
+    :func:`w_terms_stripe` (``block_n`` ignored).
     """
+    if stripe:
+        return w_terms_stripe(
+            W, H_new, Ym, Ym2, n_real=n_real, eps=eps,
+            block_m=block_m, interpret=interpret,
+        )
     k, Mp = W.shape
     _, Np = H_new.shape
     bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
@@ -466,6 +483,20 @@ def loglik_sum(
     return call(*args)[0, 0]
 
 
+
+
+def _resident_params(dimension_semantics=None):
+    """Raise the scoped-VMEM cap for the resident-operand kernels: four
+    full-width (k, 10^4)-class f32 operands (~21 MB at k=128) exceed the
+    default ~16 MB scoped limit; v5e VMEM is 128 MB."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=dimension_semantics,
+    )
+
+
 # --------------------------------------------- resident-operand variants
 #
 # At small-to-moderate rank (k <= ~256) every (k, Mp)/(k, Np) operand fits
@@ -570,6 +601,7 @@ def hloss_terms_resident(
             bytes_accessed=Mp * Np * 4 * (2 if explicit_yc else 1),
             transcendentals=2 * Mp * Np,
         ),
+        compiler_params=_resident_params(),
         interpret=interpret,
     )
     args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
@@ -653,10 +685,221 @@ def w_terms_resident(
             bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
             transcendentals=0,
         ),
+        compiler_params=_resident_params(),
         interpret=interpret,
     )
     args = (W, H_new, Ym) + ((Ym2,) if explicit_ym2 else ())
     return call(*args)
+
+
+# ------------------------------------------------------- stripe variants
+#
+# Full-width data stripes: the stream sweep (tools/bench_stream.py) shows
+# the passes are HBM-element-bound and that (bm, Np) stripes reach the best
+# effective rate (~525 GB/s f32 vs ~457 GB/s for (512, 512) tiles).  The
+# grid runs over m only; W/H and the (k, ·) outputs are VMEM-resident.
+# The W stripe pass needs NO accumulation at all: each m-stripe computes
+# its T columns completely in one step.
+
+
+def hloss_terms_stripe(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    Ym: jnp.ndarray,
+    Yc: Optional[jnp.ndarray] = None,
+    *,
+    eps: float = 1e-8,
+    m_real: int,
+    n_real: int,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Fused H-update + loss pass on full-width (block_m, Np) data stripes.
+
+    Semantics identical to :func:`hloss_terms`.
+    """
+    k, Mp = W.shape
+    _, Np = H.shape
+    bm = _pick_block(Mp, block_m)
+    grid = (Mp // bm,)
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+    explicit_yc = Yc is not None
+
+    def kernel(*refs):
+        if explicit_yc:
+            w_ref, h_ref, ym_ref, yc_ref, num_ref, den_ref, ll_ref = refs
+        else:
+            w_ref, h_ref, ym_ref, num_ref, den_ref, ll_ref = refs
+            yc_ref = None
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
+            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
+            ll_ref[0, 0] = jnp.zeros((), acc)
+
+        w = w_ref[...].astype(mxu)
+        h = h_ref[...].astype(mxu)
+        ym = ym_ref[...].astype(acc)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )  # (bm, Np)
+        yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
+        q = yc * (a * r)
+        num_ref[...] += jax.lax.dot_general(
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        den_ref[...] += jax.lax.dot_general(
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        # Pad contribution analysis (why no iota validity mask here): pad
+        # rows/cols carry ym = 0 and wh = 0 exactly (zero-padded data, W pad
+        # columns and H pad columns are kept zero by the solver), so each
+        # pad element adds the CONSTANT yc * log(1 + eps) <= 1e-8 to the
+        # sum.  The bias is identical every sweep (pads never change), so
+        # loss *differences* — the stopping rule — are unaffected, and the
+        # absolute loss shifts by < 1e-8 * pad_fraction, orders below f32
+        # resolution of the sum.  Masked modes pass explicit zero-padded
+        # Yc, where the pad terms are exactly zero.
+        ll = ym * jnp.log(a) + yc * jnp.log(b)
+        ll_ref[0, 0] += jnp.sum(ll)
+
+    in_specs = [
+        pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
+        pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bm, Np), lambda j: (j, 0), memory_space=_VMEM),  # Ym stripe
+    ]
+    if explicit_yc:
+        in_specs.append(pl.BlockSpec((bm, Np), lambda j: (j, 0), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=_SMEM if pltpu else pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Mp * Np * k,
+            bytes_accessed=Mp * Np * 4 * (2 if explicit_yc else 1),
+            transcendentals=2 * Mp * Np,
+        ),
+        compiler_params=_resident_params(),
+        interpret=interpret,
+    )
+    args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
+    Num, Den, ll = call(*args)
+    return Num, Den, ll[0, 0]
+
+
+def w_terms_stripe(
+    W: jnp.ndarray,
+    H_new: jnp.ndarray,
+    Ym: jnp.ndarray,
+    Ym2: Optional[jnp.ndarray] = None,
+    *,
+    n_real: int,
+    eps: float = 1e-8,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W-update contraction on full-width (block_m, Np) data stripes.
+
+    Each grid step computes its T output columns completely (full-n
+    contraction in one step) — no accumulator revisits at all.  Semantics
+    identical to :func:`w_terms`.
+    """
+    k, Mp = W.shape
+    _, Np = H_new.shape
+    bm = _pick_block(Mp, block_m)
+    grid = (Mp // bm,)
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+    explicit_ym2 = Ym2 is not None
+
+    def kernel(*refs):
+        if explicit_ym2:
+            w_ref, h_ref, ym_ref, ym2_ref, t_ref = refs
+        else:
+            w_ref, h_ref, ym_ref, t_ref = refs
+            ym2_ref = None
+
+        w = w_ref[...].astype(mxu)
+        h = h_ref[...].astype(mxu)
+        ym = ym_ref[...].astype(acc)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )  # (bm, Np)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = ym * (b * r)
+        if explicit_ym2:
+            ym2 = ym2_ref[...].astype(acc)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
+            ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
+        q = ym2 * (a * r)
+        # One matmul + rank-1 reduction (same identity as w_terms).
+        t_ref[...] = jax.lax.dot_general(
+            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        ) + jnp.sum(q, axis=1)[None, :]
+
+    in_specs = [
+        pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
+        pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bm, Np), lambda j: (j, 0), memory_space=_VMEM),  # Ym stripe
+    ]
+    if explicit_ym2:
+        in_specs.append(pl.BlockSpec((bm, Np), lambda j: (j, 0), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Np * k,
+            bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
+            transcendentals=0,
+        ),
+        # Each m-stripe writes disjoint T columns with no accumulation, so
+        # the grid dimension is truly parallel — lets Mosaic pipeline
+        # stripes without revisit ordering constraints.
+        compiler_params=_resident_params(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )
+    args = (W, H_new, Ym) + ((Ym2,) if explicit_ym2 else ())
+    return call(*args)
+
+
+def select_stripe(k: int, Mp: int, Np: int, n_data: int,
+                  budget_bytes: int = 88 * 1024 * 1024):
+    """Pick the stripe-kernel block_m if the full-width stripes fit VMEM.
+
+    Estimate per grid step: double-buffered data stripes (``n_data`` (m, n)
+    arrays), ~3 stripe-sized f32 intermediates (wh, p, q), the resident
+    (k, Np) outputs + H, and the W tile.  Returns ``(use_stripe, block_m)``.
+    """
+    for bm in (256, 128):
+        need = (2 * n_data * bm * Np + 3 * bm * Np + 4 * k * Np + 2 * k * bm) * 4
+        if need <= budget_bytes and Mp % _pick_block(Mp, bm) == 0:
+            return True, bm
+    return False, None
 
 
 # ------------------------------------------------------------- padding glue

@@ -184,6 +184,7 @@ def _solve_core(
         "block_m",
         "block_n",
         "interpret",
+        "freeze",
     ),
 )
 def _solve_core_pallas(
@@ -206,6 +207,7 @@ def _solve_core_pallas(
     block_m: int,
     block_n: int,
     interpret: bool = False,
+    freeze: bool = True,
 ):
     """Pallas-path MM loop on zero-padded operands (see
     :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
@@ -228,6 +230,32 @@ def _solve_core_pallas(
     kw = dict(block_m=block_m, block_n=block_n, interpret=interpret)
     dtype = W0p.dtype
 
+    # Kernel implementation dispatch: full-width stripe kernels when the
+    # resident operands fit VMEM (measured at the HBM stream floor:
+    # ~0.80 ms/pass at 10^4 x 10^4 f32 vs ~0.95 for the (512, 512)-tiled
+    # grid — see tools/bench_stream.py / bench_kernels.py); tiled kernels
+    # otherwise.
+    k_dim, Mp = W0p.shape[-2], W0p.shape[-1]
+    Np = H0p.shape[-1]
+    n_data = 1 + (1 if (Ym2p is not None or Ycp is not None) else 0)
+    use_stripe, stripe_bm = ps.select_stripe(k_dim, Mp, Np, n_data)
+    if use_stripe:
+        hloss_fn = lambda W, H: ps.hloss_terms(
+            W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real,
+            block_m=stripe_bm, interpret=interpret, stripe=True,
+        )
+        wterms_fn = lambda W, H_new: ps.w_terms(
+            W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps,
+            block_m=stripe_bm, interpret=interpret, stripe=True,
+        )
+    else:
+        hloss_fn = lambda W, H: ps.hloss_terms(
+            W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real, **kw
+        )
+        wterms_fn = lambda W, H_new: ps.w_terms(
+            W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps, **kw
+        )
+
     def objective_from_ll(ll, H):
         H_real = H[:, :n_real]
         prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H_real + eps))
@@ -239,7 +267,7 @@ def _solve_core_pallas(
         den = (1.0 - H) * Den + (beta - 1.0)
         H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
         H_new = ps.apply_col_validity(H_new, n_real)
-        T = ps.w_terms(W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps, **kw)
+        T = wterms_fn(W, H_new)
         W_raw = W * T
         if projection == "normalize":
             W_new = W_raw / n_real
@@ -259,9 +287,7 @@ def _solve_core_pallas(
 
     def body(carry):
         W, H, losses, prev1, it, done = carry
-        Num, Den, ll = ps.hloss_terms(
-            W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real, **kw
-        )
+        Num, Den, ll = hloss_fn(W, H)
         loss_cur = objective_from_ll(ll, H)  # loss of sweep it-1 (garbage at it=0)
         if verbose > 0:
             jax.lax.cond(
@@ -280,9 +306,22 @@ def _solve_core_pallas(
         rel_change = jnp.abs(prev1 - loss_cur) / jnp.abs(prev1)
         newly_done = jnp.logical_and(it >= 2, rel_change < tol)
         done_out = jnp.logical_or(done, newly_done)
-        W_new, H_new = finish_sweep(W, H, Num, Den)
-        W_out = jnp.where(done_out, W, W_new)
-        H_out = jnp.where(done_out, H, H_new)
+        if freeze:
+            # vmap-safe freeze: converged lanes keep their carry while other
+            # restarts/grid cells continue (cond lowers to select-both under
+            # vmap, so the selects are the correct batched form).
+            W_new, H_new = finish_sweep(W, H, Num, Den)
+            W_out = jnp.where(done_out, W, W_new)
+            H_out = jnp.where(done_out, H, H_new)
+        else:
+            # Single-program loop (n_init == 1): the converged iteration is
+            # the LAST one the while_loop runs, so skip the final sweep's
+            # kernels entirely instead of computing-then-discarding — and
+            # avoid two full-factor selects on every normal sweep.
+            W_out, H_out = jax.lax.cond(
+                done_out, lambda W, H, Num, Den: (W, H), finish_sweep,
+                W, H, Num, Den,
+            )
         prev_out = jnp.where(rec, loss_cur, prev1)
         it_out = jnp.where(done_out, it, it + 1)
         return (W_out, H_out, losses, prev_out, it_out, done_out)
@@ -641,6 +680,7 @@ def solve(
             block_m=bm,
             block_n=bn,
             interpret=pallas_interpret,
+            freeze=n_init > 1,
         )
         data = (Ymp, Ym2p, Ycp)
         inits = (W0p, H0p)

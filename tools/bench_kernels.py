@@ -90,6 +90,21 @@ def main():
                 lambda W, H, Y: ps.w_terms_resident(W, H, Y, n_real=N, **kw),
                 (W, H, Y), args.iters, f"w_terms_resident b={blk}",
             )
+    for bm in (128, 256, 512):
+        if hasattr(ps, "hloss_terms_stripe"):
+            Mp = ps.round_up(M, 128); Np = ps.round_up(N, 128)
+            Y = jnp.asarray((rng.random((Mp, Np)) < 0.3), dtype=jnp.float32)
+            W = jnp.asarray(rng.uniform(0.1, 0.9, (K, Mp)), dtype=jnp.float32)
+            W = W / W.sum(axis=0, keepdims=True)
+            H = jnp.asarray(rng.uniform(0.1, 0.9, (K, Np)), dtype=jnp.float32)
+            time_fn(
+                lambda W, H, Y, bm=bm: ps.hloss_terms_stripe(W, H, Y, m_real=M, n_real=N, block_m=bm),
+                (W, H, Y), args.iters, f"hloss_terms_stripe bm={bm}",
+            )
+            time_fn(
+                lambda W, H, Y, bm=bm: ps.w_terms_stripe(W, H, Y, n_real=N, block_m=bm),
+                (W, H, Y), args.iters, f"w_terms_stripe bm={bm}",
+            )
 
 
 if __name__ == "__main__":
