@@ -80,13 +80,21 @@ def quickstart_row(dtype):
 
 
 def throughput_row(mn, k, sweeps):
-    """Compiled-loop sweep throughput at mn x mn, rank k (tol=0)."""
+    """Compiled-loop sweep throughput at mn x mn, rank k (tol=0).
+
+    The input is placed on the device first: through a tunneled chip a host
+    array re-transfers per call (tens of MB over HTTP), which would swamp
+    the sweep time being measured.
+    """
+    import jax
     import jax.numpy as jnp
 
     from nbmf_mm_tpu import solve
 
     rng = np.random.default_rng(0)
-    Y = (rng.random((mn, mn)) < 0.3).astype(np.float32)
+    Y = jax.device_put(jnp.asarray(
+        (rng.random((mn, mn)) < 0.3).astype(np.float32)
+    ))
     r = solve(Y, k, max_iter=sweeps, tol=0.0, random_state=0, dtype="float32")
     t0 = time.time()
     r = solve(Y, k, max_iter=sweeps, tol=0.0, random_state=0, dtype="float32")
@@ -117,7 +125,8 @@ def main(argv=None):
         args.mn, args.k, args.sweeps
     )
     args.outdir.mkdir(parents=True, exist_ok=True)
-    out = args.outdir / f"benchmark_suite_{platform}.csv"
+    # normalize backend aliases (axon = tunneled TPU) for the artifact name
+    out = args.outdir / f"benchmark_suite_{'tpu' if platform in ('axon', 'tpu') else platform}.csv"
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
