@@ -125,7 +125,6 @@ def main():
         pkw = dict(
             max_iter=SWEEPS, projection="normalize", verbose=0, eps=1e-8,
             m_real=M, n_real=N, block_m=ps.DEFAULT_BLOCK, block_n=ps.DEFAULT_BLOCK,
-            freeze=False,  # what NBMF.fit runs at n_init=1
         )
         results["pallas_f32"], losses = _time_variant(
             _solve_core_pallas, (Ymp,) + pargs, pkw

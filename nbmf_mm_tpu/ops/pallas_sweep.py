@@ -887,6 +887,166 @@ def w_terms_stripe(
     return call(*args)
 
 
+# ------------------------------------------------- fused dual-phase sweep
+def fused_sweep(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    Ym: jnp.ndarray,
+    alpha,
+    beta,
+    *,
+    eps: float = 1e-8,
+    n_real: int,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """ONE pallas_call per MM sweep: phase 0 streams the data once for the
+    H-update contractions + the shifted loss, computes ``H_new`` in a
+    last-stripe epilogue (Num/Den live in VMEM scratch and never touch
+    HBM); phase 1 streams the data again against ``H_new`` and writes each
+    ``W_new`` stripe fully finished (multiplicative update + per-column
+    simplex renormalization, which is column-local).
+
+    Motivation (measured): two *dependent* pallas calls per sweep cannot
+    pipeline across the call boundary — back-to-back chained kernels run at
+    2.05 ms/sweep vs 1.64 ms standalone sum.  Fusing both passes into one
+    call removes one of the two boundaries per sweep and all (k, n)/(k, m)
+    intermediate HBM round-trips.
+
+    Scope: unmasked data, ``projection="normalize"`` — the default fit
+    path.  ``alpha``/``beta`` are traced (1, 1) scalars.  Returns
+    ``(W_new, H_new, ll)`` where ``ll`` is the Bernoulli log-likelihood of
+    the *incoming* ``(W, H)`` over the real region (the shifted-loss
+    schedule), up to the constant sub-1e-8 pad bias documented in
+    :func:`hloss_terms_stripe`.
+
+    **Measured outcome: a pessimization — kept for the record, default
+    OFF.**  On the v5e this runs at 3.68 ms/sweep vs ~2.05 for the two
+    chained stripe calls: the phase-predicated grid (every step carries
+    both phase bodies under ``pl.when``) defeats Mosaic's stripe pipeline,
+    costing far more than the one inter-call boundary it removes.  The
+    production path (``_solve_core_pallas`` with ``fused=False``) stays on
+    the two-call structure.
+    """
+    k, Mp = W.shape
+    _, Np = H.shape
+    bm = _pick_block(Mp, block_m)
+    S = Mp // bm
+    grid = (2, S)  # phase-major: all H/loss stripes, then all W stripes
+    acc = _acc_dtype(W.dtype)
+    mxu = _mxu_dtype(Ym.dtype, W.dtype)
+
+    def kernel(w_ref, h_ref, ym_ref, ab_ref, wout_ref, hout_ref, ll_ref,
+               num_ref, den_ref):
+        phase, j = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(jnp.logical_and(phase == 0, j == 0))
+        def _init():
+            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
+            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
+            ll_ref[0, 0] = jnp.zeros((), acc)
+
+        msl = pl.ds(pl.multiple_of(j * bm, bm), bm)
+
+        @pl.when(phase == 0)
+        def _h_phase():
+            w = w_ref[:, msl].astype(mxu)
+            h = h_ref[...].astype(mxu)
+            ym = ym_ref[...].astype(acc)
+            wh = jax.lax.dot_general(
+                w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            )
+            a = wh + eps
+            b = 1.0 - wh + eps
+            r = 1.0 / (a * b)
+            p = ym * (b * r)
+            yc = 1.0 - ym
+            q = yc * (a * r)
+            num_ref[...] += jax.lax.dot_general(
+                w, p.astype(mxu), (((1,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            den_ref[...] += jax.lax.dot_general(
+                w, q.astype(mxu), (((1,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            ll = ym * jnp.log(a) + yc * jnp.log(b)
+            ll_ref[0, 0] += jnp.sum(ll)
+
+        @pl.when(jnp.logical_and(phase == 0, j == S - 1))
+        def _h_epilogue():
+            # H update from the completed Num/Den (reference formulas
+            # _solver.py:42-47), pad columns re-zeroed.
+            al = ab_ref[0, 0]
+            be = ab_ref[0, 1]
+            Hold = h_ref[...]
+            num = Hold * num_ref[...] + (al - 1.0)
+            den = (1.0 - Hold) * den_ref[...] + (be - 1.0)
+            H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
+            col = jax.lax.broadcasted_iota(jnp.int32, H_new.shape, 1)
+            hout_ref[...] = jnp.where(col < n_real, H_new, 0.0)
+
+        @pl.when(phase == 1)
+        def _w_phase():
+            w = w_ref[:, msl].astype(mxu)
+            h_new = hout_ref[...].astype(mxu)
+            ym = ym_ref[...].astype(acc)
+            wh = jax.lax.dot_general(
+                w, h_new, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            )
+            a = wh + eps
+            b = 1.0 - wh + eps
+            r = 1.0 / (a * b)
+            p = ym * (b * r)
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
+            ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
+            q = ym2 * (a * r)
+            T = jax.lax.dot_general(
+                h_new, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
+                preferred_element_type=acc,
+            ) + jnp.sum(q, axis=1)[None, :]
+            W_raw = w_ref[:, msl] * T / n_real
+            cols = W_raw.sum(axis=0, keepdims=True)
+            wout_ref[:, msl] = W_raw / jnp.where(cols > 0, cols, 1.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, Mp), lambda p, j: (0, 0), memory_space=_VMEM),  # W
+            pl.BlockSpec((k, Np), lambda p, j: (0, 0), memory_space=_VMEM),  # H
+            pl.BlockSpec((bm, Np), lambda p, j: (j, 0), memory_space=_VMEM),  # Ym
+            pl.BlockSpec((1, 2), lambda p, j: (0, 0),
+                         memory_space=_SMEM if pltpu else pl.ANY),  # (alpha, beta)
+        ],
+        out_specs=(
+            pl.BlockSpec((k, Mp), lambda p, j: (0, 0), memory_space=_VMEM),  # W_new
+            pl.BlockSpec((k, Np), lambda p, j: (0, 0), memory_space=_VMEM),  # H_new
+            pl.BlockSpec((1, 1), lambda p, j: (0, 0),
+                         memory_space=_SMEM if pltpu else pl.ANY),  # ll
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, Mp), W.dtype),
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, Np), acc),  # Num
+            pltpu.VMEM((k, Np), acc),  # Den
+        ] if pltpu else [],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * Mp * Np * k,
+            bytes_accessed=2 * Mp * Np * 4,
+            transcendentals=2 * Mp * Np,
+        ),
+        compiler_params=_resident_params(),
+        interpret=interpret,
+    )
+    ab = jnp.stack([jnp.asarray(alpha, W.dtype), jnp.asarray(beta, W.dtype)])
+    W_new, H_new, ll = call(W, H, Ym, ab.reshape(1, 2))
+    return W_new, H_new, ll[0, 0]
+
+
 def select_stripe(k: int, Mp: int, Np: int, n_data: int,
                   budget_bytes: int = 88 * 1024 * 1024):
     """Pick the stripe-kernel block_m if the full-width stripes fit VMEM.

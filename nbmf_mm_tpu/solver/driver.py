@@ -184,7 +184,7 @@ def _solve_core(
         "block_m",
         "block_n",
         "interpret",
-        "freeze",
+        "fused",
     ),
 )
 def _solve_core_pallas(
@@ -207,7 +207,7 @@ def _solve_core_pallas(
     block_m: int,
     block_n: int,
     interpret: bool = False,
-    freeze: bool = True,
+    fused: bool = False,
 ):
     """Pallas-path MM loop on zero-padded operands (see
     :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
@@ -239,6 +239,18 @@ def _solve_core_pallas(
     Np = H0p.shape[-1]
     n_data = 1 + (1 if (Ym2p is not None or Ycp is not None) else 0)
     use_stripe, stripe_bm = ps.select_stripe(k_dim, Mp, Np, n_data)
+    # One-call-per-sweep fused kernel: unmasked + normalize + stripe-fit
+    # only (the fit default); removes one inter-kernel pipeline boundary
+    # per sweep (measured: dependent back-to-back calls cannot pipeline
+    # across the boundary).  Disabled under vmap (solve sets fused only
+    # for n_init == 1).
+    use_fused = (
+        fused
+        and use_stripe
+        and Ym2p is None
+        and Ycp is None
+        and projection == "normalize"
+    )
     if use_stripe:
         hloss_fn = lambda W, H: ps.hloss_terms(
             W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real,
@@ -287,7 +299,13 @@ def _solve_core_pallas(
 
     def body(carry):
         W, H, losses, prev1, it, done = carry
-        Num, Den, ll = hloss_fn(W, H)
+        if use_fused:
+            W_fused, H_fused, ll = ps.fused_sweep(
+                W, H, Ymp, alpha, beta, eps=eps, n_real=n_real,
+                block_m=stripe_bm, interpret=interpret,
+            )
+        else:
+            Num, Den, ll = hloss_fn(W, H)
         loss_cur = objective_from_ll(ll, H)  # loss of sweep it-1 (garbage at it=0)
         if verbose > 0:
             jax.lax.cond(
@@ -306,22 +324,19 @@ def _solve_core_pallas(
         rel_change = jnp.abs(prev1 - loss_cur) / jnp.abs(prev1)
         newly_done = jnp.logical_and(it >= 2, rel_change < tol)
         done_out = jnp.logical_or(done, newly_done)
-        if freeze:
-            # vmap-safe freeze: converged lanes keep their carry while other
-            # restarts/grid cells continue (cond lowers to select-both under
-            # vmap, so the selects are the correct batched form).
-            W_new, H_new = finish_sweep(W, H, Num, Den)
-            W_out = jnp.where(done_out, W, W_new)
-            H_out = jnp.where(done_out, H, H_new)
+        # Freeze semantics: converged lanes keep their carry (required under
+        # vmap; for n_init == 1 the selects fire only on the final
+        # iteration).  Measured on-chip: the selects cost ~nothing next to
+        # the inter-kernel pipeline bubbles, and wrapping finish_sweep in a
+        # lax.cond to skip the final sweep is a PESSIMIZATION (2.43 vs 2.02
+        # ms/sweep — the cond-outlined pallas_call loses cross-call
+        # pipelining), so plain selects are used for every n_init.
+        if use_fused:
+            W_new, H_new = W_fused, H_fused
         else:
-            # Single-program loop (n_init == 1): the converged iteration is
-            # the LAST one the while_loop runs, so skip the final sweep's
-            # kernels entirely instead of computing-then-discarding — and
-            # avoid two full-factor selects on every normal sweep.
-            W_out, H_out = jax.lax.cond(
-                done_out, lambda W, H, Num, Den: (W, H), finish_sweep,
-                W, H, Num, Den,
-            )
+            W_new, H_new = finish_sweep(W, H, Num, Den)
+        W_out = jnp.where(done_out, W, W_new)
+        H_out = jnp.where(done_out, H, H_new)
         prev_out = jnp.where(rec, loss_cur, prev1)
         it_out = jnp.where(done_out, it, it + 1)
         return (W_out, H_out, losses, prev_out, it_out, done_out)
@@ -680,7 +695,6 @@ def solve(
             block_m=bm,
             block_n=bn,
             interpret=pallas_interpret,
-            freeze=n_init > 1,
         )
         data = (Ymp, Ym2p, Ycp)
         inits = (W0p, H0p)
