@@ -56,3 +56,60 @@ def test_duchi_projection_fuzz(seed, k):
     P = np.asarray(project_columns_simplex_duchi(X))
     np.testing.assert_allclose(P.sum(axis=0), 1.0, atol=1e-8)
     assert np.all(P >= 0)
+
+
+@given(problem())
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_stripe_kernel_parity_fuzz(args):
+    """Randomized shapes through the stripe kernels (interpret) must match
+    the tiled kernels on the real region."""
+    import jax.numpy as jnp
+
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    m, n, k, alpha, beta, p, seed, masked = args
+    rng = np.random.default_rng(seed)
+    Mp, Np = ps.round_up(m, 128), ps.round_up(n, 128)
+    Y = jnp.asarray(np.pad((rng.random((m, n)) < p).astype(np.float32),
+                           ((0, Mp - m), (0, Np - n))))
+    Wr = rng.uniform(0.1, 0.9, (k, m))
+    Wr /= Wr.sum(0, keepdims=True)
+    W = jnp.asarray(np.pad(Wr.astype(np.float32), ((0, 0), (0, Mp - m))))
+    H = jnp.asarray(np.pad(rng.uniform(0.1, 0.9, (k, n)).astype(np.float32),
+                           ((0, 0), (0, Np - n))))
+    kw = dict(block_m=128, block_n=128, interpret=True)
+    Num, Den, ll = ps.hloss_terms(W, H, Y, None, m_real=m, n_real=n, **kw)
+    Num2, Den2, ll2 = ps.hloss_terms(W, H, Y, None, m_real=m, n_real=n,
+                                     block_m=128, interpret=True, stripe=True)
+    np.testing.assert_allclose(np.asarray(Num2)[:, :n], np.asarray(Num)[:, :n],
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(Den2)[:, :n], np.asarray(Den)[:, :n],
+                               atol=3e-5, rtol=1e-4)
+    # ll differs only by the constant sub-1e-8-per-pad-element bias
+    pad_elems = Mp * Np - m * n
+    assert abs(float(ll2) - float(ll)) <= 2e-8 * pad_elems + 1e-2
+    T = ps.w_terms(W, H, Y, None, n_real=n, **kw)
+    T2 = ps.w_terms(W, H, Y, None, n_real=n, block_m=128, interpret=True,
+                    stripe=True)
+    np.testing.assert_allclose(np.asarray(T2)[:, :m], np.asarray(T)[:, :m],
+                               atol=3e-5, rtol=1e-4)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 4))
+@settings(max_examples=6, deadline=None, derandomize=True)
+def test_return_all_consistency_fuzz(seed, n_init):
+    """all_final_losses, all_W/all_H and the packaged best result must be
+    mutually consistent for any seed/restart count."""
+    rng = np.random.default_rng(seed)
+    X = (rng.random((20, 15)) < 0.4).astype(float)
+    r = solve(X, 3, max_iter=20, random_state=seed % 997, n_init=n_init,
+              return_all=True)
+    ex = r.extras
+    assert ex["all_W"].shape == (n_init, 20, 3)
+    best = int(np.argmin(r.all_final_losses))
+    assert best == r.best_restart
+    np.testing.assert_allclose(ex["all_W"][best], r.W, atol=1e-9)
+    for i in range(n_init):
+        np.testing.assert_allclose(ex["all_W"][i].sum(axis=1), 1.0, atol=1e-8)
+        li = ex["all_losses"][i][: ex["all_n_iter"][i]]
+        assert np.all(np.isfinite(li)) and np.all(np.diff(li) <= 1e-10)
