@@ -19,9 +19,17 @@ measured at full size on this host (one sweep, ~45 s on the single-core dev
 host).  Set NBMF_BENCH_PROBE_BASELINE=1 to use a fast 2500x2500 probe scaled
 linearly instead (optimistic for NumPy, i.e. conservative for the ratio).
 
-Timing note: device completion is enforced by pulling a scalar result to the
-host (float(...)) — `block_until_ready` alone under-reports on the axon
-TPU backend.
+Timing note (methodology, round 2): one jitted call through the axon tunnel
+carries a LARGE, VARIABLE fixed dispatch cost (measured 10-45 ms on the same
+session), so `total_time / n_sweeps` at a single sweep count systematically
+under-reports throughput.  Each variant is therefore timed at TWO sweep
+counts and the reported value is the SLOPE — (t_hi - t_lo) / (hi - lo) —
+which cancels the dispatch constant exactly.  Device completion is enforced
+by pulling a scalar result to the host (float(...)) — `block_until_ready`
+alone under-reports on this backend.  (Also note for microbenchmarks: a
+timing loop must thread each iteration's output into the next iteration's
+input, or XLA hoists the loop-invariant kernel call and the loop measures
+nothing — see tools/bench_true.py.)
 """
 
 import json
@@ -78,23 +86,38 @@ def numpy_baseline_sweep_seconds(full: bool = True) -> float:
 
 
 def _time_variant(fn, args, kw):
-    """Compile, then min-of-3 steady-state timing with forced host sync.
+    """Slope-based steady-state timing with forced host sync.
 
-    Returns (sweeps_per_sec, losses) and validates MM descent.
+    Times the compiled solver at SWEEPS and 3*SWEEPS iterations and reports
+    the per-sweep slope (cancels the per-dispatch constant of the tunneled
+    device).  Returns (sweeps_per_sec, losses) and validates MM descent on
+    the long run.
     """
-    out = fn(*args, **kw)
-    float(out[4])  # materialize => device completed
-    times = []
+    import statistics
+
+    lo, hi = SWEEPS, 3 * SWEEPS
+    kw_lo = dict(kw, max_iter=lo)
+    kw_hi = dict(kw, max_iter=hi)
+    out = fn(*args, **kw_lo)
+    float(out[4])  # materialize => device completed (compile lo)
+    out = fn(*args, **kw_hi)
+    float(out[4])  # compile hi
+    slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
+        r = fn(*args, **kw_lo)
+        float(r[4])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fn(*args, **kw_hi)
         float(out[4])
-        times.append(time.perf_counter() - t0)
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (hi - lo))
     losses = np.asarray(out[2], dtype=np.float64)
-    assert int(out[3]) == SWEEPS
+    assert int(out[3]) == hi
     assert np.all(np.isfinite(losses)), "non-finite losses in bench run"
     assert np.all(np.diff(losses) <= 1e-4), "MM descent violated in bench run"
-    return SWEEPS / min(times), losses
+    return 1.0 / statistics.median(slopes), losses
 
 
 def main():
