@@ -149,10 +149,19 @@ def main():
             max_iter=SWEEPS, projection="normalize", verbose=0, eps=1e-8,
             m_real=M, n_real=N, block_m=ps.DEFAULT_BLOCK, block_n=ps.DEFAULT_BLOCK,
         )
+        # Headline = the library's default fit path on binary data: the
+        # bitpacked stripe kernels (solve() auto-packs; bit-identical math).
+        Mp, Np = Ymp.shape
+        can_pack, pack_bm = ps.select_stripe(K, Mp, Np, 1, packed=True)
+        assert can_pack
+        Ypk = jax.jit(ps.pack_bits, static_argnums=1)(Ymp, pack_bm)
         results["pallas_f32"], losses = _time_variant(
-            _solve_core_pallas, (Ymp,) + pargs, pkw
+            _solve_core_pallas, (Ypk,) + pargs, dict(pkw, packed=True)
         )
         if FULL:
+            results["pallas_f32_dense"], _ = _time_variant(
+                _solve_core_pallas, (Ymp,) + pargs, pkw
+            )
             results["pallas_bf16"], _ = _time_variant(
                 _solve_core_pallas, (Ymp.astype(jnp.bfloat16),) + pargs, pkw
             )

@@ -66,6 +66,9 @@ __all__ = [
     "h_terms",
     "w_terms",
     "loglik_sum",
+    "pack_bits",
+    "hloss_terms_packed",
+    "w_terms_packed",
     "pad_operands",
     "apply_col_validity",
     "round_up",
@@ -887,6 +890,251 @@ def w_terms_stripe(
     return call(*args)
 
 
+# ------------------------------------------------ bitpacked stripe variants
+#
+# The model's data is BINARY (the estimator enforces the reference's
+# "X must be binary" contract, `_base.py:90-91`), so the (m, n) matrices the
+# sweep streams from HBM can be packed 32 entries per int32 word — a 32x cut
+# in both the HBM stream and the data's memory footprint.  Because unpacked
+# values are exactly 0.0/1.0, every downstream formula collapses to a
+# *select*:
+#
+#   p  = ym * (b*r)             ==  where(bit, b*r, 0)
+#   q  = (1-ym) * (a*r)         ==  where(bit, 0, a*r)
+#   ll = ym*log a + (1-ym)*log b == log(where(bit, a, b))   (ONE log, not 2)
+#
+# which is bit-identical to the dense stripe kernels (multiplying by an
+# exact 0/1 and adding a signed zero is exact in IEEE arithmetic; the padded
+# sums run in the same order) — asserted by tests/test_pallas.py.
+#
+# Packing layout (stripe-local bit planes along m, for stripe block bm):
+#   word row w = j*bmw + i, bit b  <->  data row j*bm + b*bmw + i
+# with bmw = bm // 32, so the in-kernel unpack — 32 shift-to-sign planes
+# concatenated along sublanes — reproduces stripe j's rows in EXACT original
+# order; no permutation exists anywhere.
+#
+# Measured (10^4 x 10^4, K=128, f32, v5e, hoist-proof slope timing,
+# tools/bench_true.py): H pass 0.73 ms vs 0.85 dense, W pass 0.39 vs 0.48 —
+# the gain is modest unmasked (the pass is MXU-bound; see
+# docs/performance.md) but doubles for masked training, where the dense W
+# pass streams TWO (m, n) arrays, and the 32x memory cut raises the
+# max single-chip problem size accordingly.
+
+PACKED_WORD_BITS = 32
+
+
+def pack_bits(Ymp: jnp.ndarray, block_m: int) -> jnp.ndarray:
+    """Pack a zero-padded binary ``(Mp, Np)`` matrix into ``(Mp//32, Np)``
+    int32 words in the stripe-local bit-plane layout for stripe ``block_m``.
+
+    Requires ``block_m % 32 == 0`` and ``Mp % block_m == 0`` (both are
+    guaranteed by :func:`select_stripe` + :func:`pad_operands`).
+    """
+    Mp, Np = Ymp.shape
+    bm = _pick_block(Mp, block_m)
+    if bm % PACKED_WORD_BITS != 0 or Mp % bm != 0:
+        raise ValueError(f"pack_bits: invalid stripe {block_m} for Mp={Mp}")
+    bmw = bm // PACKED_WORD_BITS
+    S = Mp // bm
+    bits = Ymp.astype(jnp.int32).reshape(S, PACKED_WORD_BITS, bmw, Np)
+    shifts = jnp.arange(PACKED_WORD_BITS, dtype=jnp.int32)[None, :, None, None]
+    packed = jnp.bitwise_or.reduce(bits << shifts, axis=1)
+    return packed.reshape(Mp // PACKED_WORD_BITS, Np)
+
+
+def _unpack_bitmask(pw: jnp.ndarray, bm: int) -> jnp.ndarray:
+    """``(bmw, Np)`` int32 words -> ``(bm, Np)`` bool in original row order.
+
+    Sign trick: left-shift bit ``b`` into the sign position and test ``< 0``
+    — two cheap VPU ops per plane, no integer->float conversion anywhere.
+    """
+    planes = [(pw << (31 - b)) for b in range(PACKED_WORD_BITS)]
+    return jnp.concatenate(planes, axis=0) < 0
+
+
+def hloss_terms_packed(
+    W: jnp.ndarray,
+    H: jnp.ndarray,
+    Yp: jnp.ndarray,
+    Yp2: Optional[jnp.ndarray] = None,
+    *,
+    eps: float = 1e-8,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Bitpacked fused H-update + loss pass (semantics of
+    :func:`hloss_terms_stripe`).
+
+    ``Yp`` packs ``Ym`` (= ``Y`` or ``Y*mask``).  ``Yp2=None`` selects the
+    parity/unmasked complement ``1 - Ym`` (in-register); an explicit ``Yp2``
+    (packing ``(1-Y)*mask``) serves ``mask_mode="corrected"``.
+    """
+    k, Mp = W.shape
+    _, Np = H.shape
+    bm = _pick_block(Mp, block_m)
+    bmw = bm // PACKED_WORD_BITS
+    grid = (Mp // bm,)
+    acc = _acc_dtype(W.dtype)
+    mxu = W.dtype
+    corrected = Yp2 is not None
+
+    def kernel(*refs):
+        if corrected:
+            w_ref, h_ref, yp_ref, yp2_ref, num_ref, den_ref, ll_ref = refs
+        else:
+            w_ref, h_ref, yp_ref, num_ref, den_ref, ll_ref = refs
+            yp2_ref = None
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
+            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
+            ll_ref[0, 0] = jnp.zeros((), acc)
+
+        w = w_ref[...].astype(mxu)
+        h = h_ref[...].astype(mxu)
+        bit = _unpack_bitmask(yp_ref[...], bm)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )  # (bm, Np)
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = jnp.where(bit, b * r, 0.0)
+        if corrected:
+            bit2 = _unpack_bitmask(yp2_ref[...], bm)
+            q = jnp.where(bit2, a * r, 0.0)
+            # Unobserved entries (neither bit set) contribute log(1) = 0.
+            ll = jnp.log(jnp.where(bit, a, jnp.where(bit2, b, 1.0)))
+        else:
+            q = jnp.where(bit, 0.0, a * r)
+            ll = jnp.log(jnp.where(bit, a, b))
+        num_ref[...] += jax.lax.dot_general(
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        den_ref[...] += jax.lax.dot_general(
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        # Pad bias analysis as in hloss_terms_stripe: pad elements add the
+        # constant log(1 + eps) <= 1e-8 each (exactly 0 in corrected mode).
+        ll_ref[0, 0] += jnp.sum(ll)
+
+    in_specs = [
+        pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
+        pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bmw, Np), lambda j: (j, 0), memory_space=_VMEM),  # words
+    ]
+    if corrected:
+        in_specs.append(pl.BlockSpec((bmw, Np), lambda j: (j, 0), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=_SMEM if pltpu else pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((k, Np), W.dtype),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Mp * Np * k,
+            bytes_accessed=Mp * Np // 8 * (2 if corrected else 1),
+            transcendentals=Mp * Np,
+        ),
+        compiler_params=_resident_params(),
+        interpret=interpret,
+    )
+    args = (W, H, Yp) + ((Yp2,) if corrected else ())
+    Num, Den, ll = call(*args)
+    return Num, Den, ll[0, 0]
+
+
+def w_terms_packed(
+    W: jnp.ndarray,
+    H_new: jnp.ndarray,
+    Yp: jnp.ndarray,
+    Yp2: Optional[jnp.ndarray] = None,
+    *,
+    n_real: int,
+    eps: float = 1e-8,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bitpacked W-update contraction (semantics of :func:`w_terms_stripe`).
+
+    ``Yp2=None`` synthesizes the unmasked complement with column validity;
+    an explicit ``Yp2`` (packing ``(1-Y)*mask``) serves both masked modes
+    (their W update uses the same masked complement).
+    """
+    k, Mp = W.shape
+    _, Np = H_new.shape
+    bm = _pick_block(Mp, block_m)
+    bmw = bm // PACKED_WORD_BITS
+    grid = (Mp // bm,)
+    acc = _acc_dtype(W.dtype)
+    mxu = W.dtype
+    explicit2 = Yp2 is not None
+
+    def kernel(*refs):
+        if explicit2:
+            w_ref, h_ref, yp_ref, yp2_ref, t_ref = refs
+        else:
+            w_ref, h_ref, yp_ref, t_ref = refs
+            yp2_ref = None
+
+        w = w_ref[...].astype(mxu)
+        h = h_ref[...].astype(mxu)
+        bit = _unpack_bitmask(yp_ref[...], bm)
+        wh = jax.lax.dot_general(
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        a = wh + eps
+        b = 1.0 - wh + eps
+        r = 1.0 / (a * b)
+        p = jnp.where(bit, b * r, 0.0)
+        if explicit2:
+            bit2 = _unpack_bitmask(yp2_ref[...], bm)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
+            bit2 = jnp.logical_and(jnp.logical_not(bit), col < n_real)
+        q = jnp.where(bit2, a * r, 0.0)
+        # One matmul + rank-1 reduction (same identity as w_terms_stripe).
+        t_ref[...] = jax.lax.dot_general(
+            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        ) + jnp.sum(q, axis=1)[None, :]
+
+    in_specs = [
+        pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
+        pl.BlockSpec((k, Np), lambda j: (0, 0), memory_space=_VMEM),  # H resident
+        pl.BlockSpec((bmw, Np), lambda j: (j, 0), memory_space=_VMEM),  # words
+    ]
+    if explicit2:
+        in_specs.append(pl.BlockSpec((bmw, Np), lambda j: (j, 0), memory_space=_VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Np * k,
+            bytes_accessed=Mp * Np // 8 * (2 if explicit2 else 1),
+            transcendentals=0,
+        ),
+        compiler_params=_resident_params(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )
+    args = (W, H_new, Yp) + ((Yp2,) if explicit2 else ())
+    return call(*args)
+
+
 # ------------------------------------------------- fused dual-phase sweep
 def fused_sweep(
     W: jnp.ndarray,
@@ -1048,16 +1296,24 @@ def fused_sweep(
 
 
 def select_stripe(k: int, Mp: int, Np: int, n_data: int,
-                  budget_bytes: int = 88 * 1024 * 1024):
+                  budget_bytes: int = 88 * 1024 * 1024, packed: bool = False):
     """Pick the stripe-kernel block_m if the full-width stripes fit VMEM.
 
     Estimate per grid step: double-buffered data stripes (``n_data`` (m, n)
-    arrays), ~3 stripe-sized f32 intermediates (wh, p, q), the resident
-    (k, Np) outputs + H, and the W tile.  Returns ``(use_stripe, block_m)``.
+    arrays — 32x smaller words when ``packed``), stripe-sized f32
+    intermediates (~3 dense: wh, p, q; ~5 packed: + the unpacked plane
+    concat and mask), the resident (k, Np) outputs + H, and the W tile.
+    Returns ``(use_stripe, block_m)``.
     """
+    n_inter = 5 if packed else 3
     for bm in (256, 128):
-        need = (2 * n_data * bm * Np + 3 * bm * Np + 4 * k * Np + 2 * k * bm) * 4
+        data_rows = (bm // PACKED_WORD_BITS) if packed else bm
+        need = (
+            2 * n_data * data_rows * Np + n_inter * bm * Np + 4 * k * Np + 2 * k * bm
+        ) * 4
         if need <= budget_bytes and Mp % _pick_block(Mp, bm) == 0:
+            if packed and _pick_block(Mp, bm) % PACKED_WORD_BITS != 0:
+                continue
             return True, bm
     return False, None
 

@@ -185,6 +185,7 @@ def _solve_core(
         "block_n",
         "interpret",
         "fused",
+        "packed",
     ),
 )
 def _solve_core_pallas(
@@ -208,9 +209,15 @@ def _solve_core_pallas(
     block_n: int,
     interpret: bool = False,
     fused: bool = False,
+    packed: bool = False,
 ):
     """Pallas-path MM loop on zero-padded operands (see
     :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
+
+    With ``packed=True`` the data operands are int32 bit-plane words
+    (``(Mp//32, Np)``, built by :func:`~nbmf_mm_tpu.ops.pallas_sweep.pack_bits`
+    in :func:`solve`) and the bitpacked stripe kernels run — bit-identical
+    math, 32x less data traffic/memory (binary operands only).
 
     Uses the *shifted-loss* schedule: the loss the reference reports after
     sweep ``t`` is evaluated on the same ``W.T @ H`` product the next
@@ -238,7 +245,9 @@ def _solve_core_pallas(
     k_dim, Mp = W0p.shape[-2], W0p.shape[-1]
     Np = H0p.shape[-1]
     n_data = 1 + (1 if (Ym2p is not None or Ycp is not None) else 0)
-    use_stripe, stripe_bm = ps.select_stripe(k_dim, Mp, Np, n_data)
+    use_stripe, stripe_bm = ps.select_stripe(k_dim, Mp, Np, n_data, packed=packed)
+    if packed and not use_stripe:  # solve() gates packing on stripe fit
+        raise ValueError("packed operands require stripe-eligible shapes")
     # One-call-per-sweep fused kernel: unmasked + normalize + stripe-fit
     # only (the fit default); removes one inter-kernel pipeline boundary
     # per sweep (measured: dependent back-to-back calls cannot pipeline
@@ -247,11 +256,22 @@ def _solve_core_pallas(
     use_fused = (
         fused
         and use_stripe
+        and not packed
         and Ym2p is None
         and Ycp is None
         and projection == "normalize"
     )
-    if use_stripe:
+    if packed:
+        # Ycp is the packed masked complement in corrected mode (same words
+        # as Ym2p), None otherwise — mirroring the dense operand contract.
+        hloss_fn = lambda W, H: ps.hloss_terms_packed(
+            W, H, Ymp, Ycp, eps=eps, block_m=stripe_bm, interpret=interpret,
+        )
+        wterms_fn = lambda W, H_new: ps.w_terms_packed(
+            W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps,
+            block_m=stripe_bm, interpret=interpret,
+        )
+    elif use_stripe:
         hloss_fn = lambda W, H: ps.hloss_terms(
             W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real,
             block_m=stripe_bm, interpret=interpret, stripe=True,
@@ -352,10 +372,17 @@ def _solve_core_pallas(
     W, H, losses, prev1, n_iter, done = jax.lax.while_loop(cond, body, init)
 
     # max_iter exhausted without converging: the last sweep's loss was never
-    # recorded — one standalone loss pass fills it.
-    ll_fin = ps.loglik_sum(
-        W, H, Ymp, Ycp, m_real=m_real, n_real=n_real, eps=eps, **kw
-    )
+    # recorded — one standalone loss pass fills it.  The stripe paths reuse
+    # their own fused H+loss kernel (Num/Den discarded; once per solve) so
+    # the filled entry carries the SAME constant pad bias as every recorded
+    # entry — the stopping rule's relative change stays unbiased, and the
+    # packed and dense stripe paths remain bit-identical.
+    if packed or use_stripe:
+        _, _, ll_fin = hloss_fn(W, H)
+    else:
+        ll_fin = ps.loglik_sum(
+            W, H, Ymp, Ycp, m_real=m_real, n_real=n_real, eps=eps, **kw
+        )
     loss_fin = objective_from_ll(ll_fin, H)
     need_final = jnp.logical_not(done)
     losses = jnp.where(
@@ -455,6 +482,7 @@ def solve(
     block_n: Optional[int] = None,
     pallas_interpret: bool = False,
     return_all: bool = False,
+    packed: Optional[bool] = None,
 ) -> SolverResult:
     """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
 
@@ -485,6 +513,12 @@ def solve(
       ``all_H (n_init, k, n)``, ``all_n_iter``, ``all_losses``) — the
       paper's 10-init evaluation protocol needs per-init models, not just
       the best one.  Single-chip paths only.
+    - ``packed``: bitpack exactly-binary operands into int32 bit-plane
+      words for the stripe kernels (32 entries/word: ~32x less HBM stream
+      and data memory; results bit-identical).  ``None`` (default) enables
+      it automatically when the data — and the mask, if given — are exactly
+      0/1 and the shapes are stripe-eligible; ``False`` disables; ``True``
+      requires eligibility and raises otherwise.  Single-chip Pallas path.
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
@@ -684,6 +718,41 @@ def solve(
         pad_last = lambda A, t: jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])])
         Ymp, Ym2p, Ycp = pad_mn(Ym), pad_mn(Ym2), pad_mn(Yc)
         W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
+
+        # ---- bitpacking (binary operands only; see solve() docstring) ----
+        def _exactly_binary(A):
+            if A is None:
+                return True
+            if isinstance(A, jax.Array):
+                return bool(jnp.all((A == 0) | (A == 1)))
+            Anp = np.asarray(A)
+            return bool(((Anp == 0) | (Anp == 1)).all())
+
+        can_pack, pack_bm = ps.select_stripe(
+            k, Mp, Np, 1 + (Ym2p is not None), packed=True
+        )
+        use_packed = (
+            packed is not False
+            and can_pack
+            # the operands the kernels stream must be exactly 0/1 — checks
+            # Ym/Ym2 (post-masking), not Y, so continuous values at
+            # *observed* entries are caught
+            and _exactly_binary(Ym)
+            and _exactly_binary(Ym2)
+        )
+        if packed is True and not use_packed:
+            raise ValueError(
+                "packed=True requires exactly binary data (and mask) and "
+                "stripe-eligible shapes"
+            )
+        if use_packed:
+            pk = jax.jit(ps.pack_bits, static_argnums=1)
+            Ymp = pk(Ymp, pack_bm)
+            if Ym2p is not None:
+                Ym2p = pk(Ym2p, pack_bm)
+            # corrected mode's Yc equals Ym2 — reuse the packed words
+            Ycp = Ym2p if Ycp is not None else None
+
         core = partial(
             _solve_core_pallas,
             max_iter=max_iter,
@@ -695,6 +764,7 @@ def solve(
             block_m=bm,
             block_n=bn,
             interpret=pallas_interpret,
+            packed=use_packed,
         )
         data = (Ymp, Ym2p, Ycp)
         inits = (W0p, H0p)

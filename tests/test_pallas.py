@@ -74,6 +74,61 @@ def test_pallas_monotone_f32():
     assert np.all(np.diff(res.losses) <= 1e-5)
 
 
+def _compare_packed(X, **kw):
+    """packed=True vs packed=False on the Pallas path must be bit-identical
+    (select-form on exact 0/1 values; see ops/pallas_sweep.py)."""
+    a = solve(X, 4, max_iter=15, random_state=0, packed=False, **F32, **PALLAS, **kw)
+    b = solve(X, 4, max_iter=15, random_state=0, packed=True, **F32, **PALLAS, **kw)
+    assert a.n_iter == b.n_iter
+    np.testing.assert_array_equal(a.W, b.W)
+    np.testing.assert_array_equal(a.H, b.H)
+    np.testing.assert_array_equal(a.losses, b.losses)
+
+
+def test_packed_bitwise_equal_unmasked():
+    _compare_packed(_toy())
+
+
+def test_packed_bitwise_equal_masked_parity():
+    X = _toy()
+    _compare_packed(X, mask=_mask(X.shape))
+
+
+def test_packed_bitwise_equal_masked_corrected():
+    X = _toy()
+    _compare_packed(X, mask=_mask(X.shape), mask_mode="corrected")
+
+
+def test_packed_bitwise_equal_duchi():
+    _compare_packed(_toy(), projection="duchi")
+
+
+def test_packed_restarts_vmap():
+    X = _toy(seed=3)
+    a = solve(X, 3, max_iter=12, random_state=0, n_init=3, packed=False, **F32, **PALLAS)
+    b = solve(X, 3, max_iter=12, random_state=0, n_init=3, packed=True, **F32, **PALLAS)
+    assert a.best_restart == b.best_restart
+    np.testing.assert_array_equal(a.W, b.W)
+    np.testing.assert_array_equal(a.all_final_losses, b.all_final_losses)
+
+
+def test_packed_rejects_continuous_data():
+    X = _toy()
+    X[0, 0] = 0.5  # in [0,1] (valid input) but not exactly binary
+    with pytest.raises(ValueError, match="packed=True requires"):
+        solve(X, 4, max_iter=5, random_state=0, packed=True, **F32, **PALLAS)
+    # auto mode falls back to the dense kernels and still matches XLA
+    _compare(X)
+
+
+def test_packed_rejects_continuous_mask():
+    X = _toy()
+    w = _mask(X.shape) * 0.7  # confidence-weighted mask: not binary
+    with pytest.raises(ValueError, match="packed=True requires"):
+        solve(X, 4, max_iter=5, random_state=0, mask=w, packed=True, **F32, **PALLAS)
+    _compare(X, mask=w, mask_mode="corrected", tol=5e-5)
+
+
 def test_pallas_mesh_n_init_supported():
     # mesh + pallas + restarts: vmapped inside the shard_map (full matrix in
     # tests/test_sharded_pallas.py); smoke-check the 2-device route here.
