@@ -2,6 +2,15 @@
 """Diagnostic Pallas kernels: isolate MXU, VPU, and HBM components of the
 sweep passes to find the binding resource on the real chip.
 
+.. warning:: SUPERSEDED — the timing loop here feeds loop-invariant inputs,
+   which XLA hoists: the loop executes the kernel ONCE and the reported
+   per-call numbers are dominated by the tunnel's 10-45 ms dispatch cost
+   divided by the iteration count.  Round-2 conclusions drawn from this
+   tool (the "525 GB/s stream ceiling", per-component pass splits) were
+   measurement artifacts.  Use tools/bench_true.py (loop-carried inputs +
+   slope timing) instead; see docs/performance.md "Measurement
+   methodology".
+
 Each kernel uses the same grid/blocking as the production H pass
 (grid (n, m), data tile (bm, bn), factors (k, bm)/(k, bn)):
 

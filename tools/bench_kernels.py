@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Per-kernel microbenchmarks for the Pallas sweep passes on the real TPU.
 
-Times each pass (hloss_terms, w_terms, and experimental variants) standalone
-inside one jitted fori_loop (the axon tunnel's ~3 ms dispatch latency makes
-per-call timing meaningless), syncing via a scalar pull.  Used to attack the
-round-1 "revisited-accumulator grid" headroom (docs/performance.md).
+Hoist-proof + dispatch-proof (round-2 methodology fix): each timing loop
+threads a scalar from the kernel output back into an input so XLA cannot
+hoist the loop-invariant call, and the reported time is the SLOPE between
+two iteration counts, which cancels the tunnel's 10-45 ms variable
+per-dispatch cost.  See docs/performance.md "Measurement methodology".
 
-Usage: python tools/bench_kernels.py [--mn 10000] [--k 128] [--iters 30]
+Usage: python tools/bench_kernels.py [--mn 10000] [--k 128]
 """
 import argparse
 import sys
@@ -20,25 +21,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_fn(fn, args, iters, label):
-    """Run fn(args) iters times inside one jit; return ms/call."""
+def time_fn(fn, args, iters, label, lo=10, hi=110, reps=5):
+    """Hoist-proof slope timing: the first arg (a factor matrix) is
+    perturbed with a zero-valued scalar from each call's output, forcing
+    truly sequential kernel executions; the reported ms/call is the median
+    slope between ``lo`` and ``hi`` iterations (cancels dispatch cost).
+    ``iters`` is accepted for CLI compatibility and ignored."""
+    import statistics
 
-    @jax.jit
-    def loop(*a):
-        def body(_, acc):
-            out = fn(*a)
-            # fold a scalar from the output into the carry so nothing is DCE'd
-            leaf = jax.tree.leaves(out)[0]
-            return acc + leaf.ravel()[0].astype(jnp.float32)
+    def mk(n):
+        @jax.jit
+        def loop(*a):
+            def body(_, carry):
+                first, rest = carry[0], carry[1:]
+                out = fn(first, *rest)
+                leaf = jax.tree.leaves(out)[0]
+                dep = leaf.ravel()[0].astype(first.dtype) * 0.0
+                return (first + dep,) + rest
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, a)
 
-    r = loop(*args)
-    float(r)  # warm + sync
-    t0 = time.time()
-    r = loop(*args)
-    float(r)
-    dt = (time.time() - t0) / iters * 1e3
+        return loop
+
+    flo, fhi = mk(lo), mk(hi)
+    float(flo(*args)[0].ravel()[0])
+    float(fhi(*args)[0].ravel()[0])
+    vals = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(flo(*args)[0].ravel()[0])
+        tlo = time.time() - t0
+        t0 = time.time()
+        float(fhi(*args)[0].ravel()[0])
+        thi = time.time() - t0
+        vals.append((thi - tlo) / (hi - lo) * 1e3)
+    dt = statistics.median(vals)
     print(f"{label:55s} {dt:8.3f} ms/call")
     return dt
 

@@ -15,6 +15,11 @@ reproducing rows j*bm .. j*bm+bm in EXACT order — no permutation anywhere.
 Measures: correctness vs the dense stripe kernels, standalone pass times,
 and a full chained sweep loop, at f32 and bf16 MXU operand precision.
 
+.. warning:: the standalone `time_fn` numbers here are contaminated by
+   loop-invariant hoisting + dispatch overhead (discovered mid-round); only
+   the full sweep-loop numbers (loop-carried W/H) are real.  The corrected
+   harness is tools/bench_true.py.  Kept as the experiment record.
+
 Usage: python tools/bench_packed.py [--mn 10240] [--k 128] [--iters 30]
 """
 import argparse

@@ -2,9 +2,12 @@
 """HBM stream-rate sweep: measure effective bandwidth reading the (M, N)
 data matrix through Pallas at different tile shapes and dtypes.
 
-The sweep passes are stream-bound (tools/bench_diag.py: hbm_only 1.016 ms
-for 420 MB = 413 GB/s vs the v5e's 819 GB/s peak); this finds the tile
-geometry that saturates the DMA engines.
+.. warning:: SUPERSEDED — the timing loop feeds loop-invariant inputs,
+   which XLA hoists: the loop executes the kernel ONCE and the numbers are
+   dominated by the tunnel's variable dispatch cost.  The round-2
+   "stream-bound, ~525 GB/s ceiling" conclusions drawn from this tool were
+   measurement artifacts (the passes are matmul-rate-bound).  Use
+   tools/bench_true.py; see docs/performance.md "Measurement methodology".
 """
 import argparse
 import sys
