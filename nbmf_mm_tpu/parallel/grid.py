@@ -120,11 +120,27 @@ def grid_solve(
             masked=mask is not None, mask_mode=mask_mode,
             block_m=bm, block_n=bn,
         )
+        # Bitpack exactly-binary operands (same auto rule as driver.solve);
+        # all grid cells share one packed copy of the data.
+        Mp, Np = Ymp.shape
+        can_pack, pack_bm = ps.select_stripe(
+            k, Mp, Np, 1 + (Ym2p is not None), packed=True
+        )
+        binary = bool(jnp.all((Ym == 0) | (Ym == 1))) and (
+            Ym2 is None or bool(jnp.all((Ym2 == 0) | (Ym2 == 1)))
+        )
+        use_packed = can_pack and binary
+        if use_packed:
+            pk = jax.jit(ps.pack_bits, static_argnums=1)
+            Ymp = pk(Ymp, pack_bm)
+            Ym2p = pk(Ym2p, pack_bm) if Ym2p is not None else None
+            Ycp = Ym2p if Ycp is not None else None
         core = partial(
             _solve_core_pallas,
             max_iter=max_iter, projection=projection, verbose=0,
             eps=float(eps), m_real=m, n_real=n,
             block_m=bm, block_n=bn, interpret=pallas_interpret,
+            packed=use_packed,
         )
         batched = jax.vmap(
             core, in_axes=(None, None, None, None, None, 0, 0, None, None)

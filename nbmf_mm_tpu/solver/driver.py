@@ -676,6 +676,10 @@ def solve(
         from ..ops import pallas_sweep as ps
         from .sharded import solve_core_sharded
 
+        def _binary(A):
+            return A is None or bool(jnp.all((A == 0) | (A == 1)))
+
+        pk_sharded = packed is not False and _binary(Ym) and _binary(Ym2)
         Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b = solve_core_sharded(
             Ym, Ym2, Yc, W0, H0,
             jnp.array(alpha, dtype=dtype),
@@ -693,6 +697,7 @@ def solve(
             block_n=block_n or ps.DEFAULT_BLOCK,
             interpret=pallas_interpret,
             data_dtype=data_dtype,
+            packed=pk_sharded,
         )
         best = int(jnp.argmin(final_loss_b)) if n_init > 1 else 0
         all_final = np.asarray(final_loss_b) if n_init > 1 else None

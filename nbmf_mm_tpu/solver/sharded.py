@@ -77,8 +77,15 @@ def solve_core_sharded(
     block_n: int,
     interpret: bool = False,
     data_dtype=None,
+    packed: bool = False,
 ):
     """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
+
+    ``packed=True`` (caller guarantees exactly-binary operands) bitpacks
+    each device's LOCAL data blocks inside the shard_map and runs the
+    packed stripe kernels per shard — the collectives are unchanged (they
+    move ``(k, ·)`` factor terms, never data).  Falls back to the dense
+    tiled kernels when the local stripe geometry doesn't fit VMEM.
 
     Inputs are *unpadded* device-agnostic arrays in the internal layout with
     a leading restart axis: ``W0 (b, k, m)`` unit-column-sum, ``H0 (b, k,
@@ -123,7 +130,37 @@ def solve_core_sharded(
     m_loc, n_loc = Mp // n_rows, Np // n_cols
     kw = dict(block_m=bm, block_n=bn, interpret=interpret)
 
+    # Per-shard bitpacking decision (static): the caller vouches the
+    # operands are exactly binary; here we only need the local stripe
+    # geometry to fit.  Local m is 128-aligned by plan_shard_padding, so a
+    # 128-row stripe always divides it.
+    use_packed, pack_bm = False, None
+    if packed:
+        use_packed, pack_bm = ps.select_stripe(k, m_loc, n_loc, 3, packed=True)
+
     def local_loop(Ym_l, Ym2_l, Yc_l, W_b0, H_b0, Vn_l, alpha, beta, tol, n_obs):
+        if use_packed:
+            # Parity mode keeps THREE distinct binary operands (Ym = Y*mask,
+            # Ym2 = (1-Y)*mask, Yc = 1-Ym with zero pads); pack each local
+            # block once, outside the while_loop.
+            Ymp_l = ps.pack_bits(Ym_l, pack_bm)
+            Ym2p_l = ps.pack_bits(Ym2_l, pack_bm)
+            Ycp_l = ps.pack_bits(Yc_l, pack_bm)
+            hloss_local = lambda W_l, H_l: ps.hloss_terms_packed(
+                W_l, H_l, Ymp_l, Ycp_l, eps=eps, block_m=pack_bm,
+                interpret=interpret,
+            )
+            wterms_local = lambda W_l, H_new: ps.w_terms_packed(
+                W_l, H_new, Ymp_l, Ym2p_l, n_real=n_real, eps=eps,
+                block_m=pack_bm, interpret=interpret,
+            )
+        else:
+            hloss_local = lambda W_l, H_l: ps.hloss_terms(
+                W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
+            )
+            wterms_local = lambda W_l, H_new: ps.w_terms(
+                W_l, H_new, Ym_l, Ym2_l, n_real=n_real, eps=eps, **kw
+            )
         def objective_from_ll(ll_partial, H_l):
             ll = jax.lax.psum(ll_partial, (rows, cols))
             # Beta-prior sums over the real columns only (Vn zeroes pads);
@@ -140,10 +177,7 @@ def solve_core_sharded(
             num = H_l * Num + (alpha - 1.0)
             den = (1.0 - H_l) * Den + (beta - 1.0)
             H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps) * Vn_l
-            T = jax.lax.psum(
-                ps.w_terms(W_l, H_new, Ym_l, Ym2_l, n_real=n_real, eps=eps, **kw),
-                cols,
-            )
+            T = jax.lax.psum(wterms_local(W_l, H_new), cols)
             W_raw = W_l * T
             if projection == "normalize":
                 W_new = W_raw / n_real
@@ -167,9 +201,7 @@ def solve_core_sharded(
 
         def body(carry):
             W_l, H_l, losses, prev1, it, done = carry
-            Num_p, Den_p, ll_p = ps.hloss_terms(
-                W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
-            )
+            Num_p, Den_p, ll_p = hloss_local(W_l, H_l)
             Num = jax.lax.psum(Num_p, rows)
             Den = jax.lax.psum(Den_p, rows)
             loss_cur = objective_from_ll(ll_p, H_l)
@@ -201,9 +233,7 @@ def solve_core_sharded(
             )
 
             # Final-loss fill on max_iter exhaustion (single-chip core dito).
-            _, _, ll_p = ps.hloss_terms(
-                W_l, H_l, Ym_l, Yc_l, eps=eps, m_real=m_loc, n_real=n_loc, **kw
-            )
+            _, _, ll_p = hloss_local(W_l, H_l)
             loss_fin = objective_from_ll(ll_p, H_l)
             need_final = jnp.logical_not(done)
             losses = jnp.where(

@@ -95,6 +95,58 @@ def test_stripe_kernel_parity_fuzz(args):
                                atol=3e-5, rtol=1e-4)
 
 
+@given(problem())
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_packed_kernel_bitwise_fuzz(args):
+    """Randomized shapes through the bitpacked kernels (interpret) must be
+    BIT-IDENTICAL to the dense stripe kernels (select-form on exact 0/1)."""
+    import jax.numpy as jnp
+
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    m, n, k, alpha, beta, p, seed, masked = args
+    rng = np.random.default_rng(seed)
+    Mp, Np = ps.round_up(m, 128), ps.round_up(n, 128)
+    Yr = (rng.random((m, n)) < p).astype(np.float32)
+    maskr = (rng.random((m, n)) < 0.8).astype(np.float32) if masked else None
+    Ym = Yr * maskr if masked else Yr
+    Ym2 = (1.0 - Yr) * maskr if masked else None
+    pad = lambda A: None if A is None else jnp.asarray(
+        np.pad(A, ((0, Mp - m), (0, Np - n)))
+    )
+    Ymp, Ym2p = pad(Ym), pad(Ym2)
+    Wr = rng.uniform(0.1, 0.9, (k, m))
+    Wr /= Wr.sum(0, keepdims=True)
+    W = jnp.asarray(np.pad(Wr.astype(np.float32), ((0, 0), (0, Mp - m))))
+    H = jnp.asarray(np.pad(rng.uniform(0.1, 0.9, (k, n)).astype(np.float32),
+                           ((0, 0), (0, Np - n))))
+    Ypk = ps.pack_bits(Ymp, 128)
+    Ypk2 = ps.pack_bits(Ym2p, 128) if Ym2p is not None else None
+
+    # parity-mode hloss (complement in-register on both paths)
+    Num, Den, ll = ps.hloss_terms(W, H, Ymp, None, m_real=m, n_real=n,
+                                  block_m=128, interpret=True, stripe=True)
+    Np_, Dp_, llp = ps.hloss_terms_packed(W, H, Ypk, None, block_m=128,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(Num), np.asarray(Np_))
+    np.testing.assert_array_equal(np.asarray(Den), np.asarray(Dp_))
+    assert float(ll) == float(llp)
+    if masked:
+        # corrected-mode hloss (explicit complement)
+        Nc, Dc, llc = ps.hloss_terms(W, H, Ymp, Ym2p, m_real=m, n_real=n,
+                                     block_m=128, interpret=True, stripe=True)
+        Ncp, Dcp, llcp = ps.hloss_terms_packed(W, H, Ypk, Ypk2, block_m=128,
+                                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(Nc), np.asarray(Ncp))
+        np.testing.assert_array_equal(np.asarray(Dc), np.asarray(Dcp))
+        assert float(llc) == float(llcp)
+    T = ps.w_terms(W, H, Ymp, Ym2p, n_real=n, block_m=128, interpret=True,
+                   stripe=True)
+    Tp = ps.w_terms_packed(W, H, Ypk, Ypk2, n_real=n, block_m=128,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(T), np.asarray(Tp))
+
+
 @given(st.integers(0, 2**31 - 1), st.integers(2, 4))
 @settings(max_examples=6, deadline=None, derandomize=True)
 def test_return_all_consistency_fuzz(seed, n_init):

@@ -88,3 +88,16 @@ def test_sharded_pallas_n_init(mesh):
     assert a.best_restart == b.best_restart
     np.testing.assert_allclose(a.all_final_losses, b.all_final_losses, atol=2e-5)
     np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+
+
+def test_sharded_packed_matches_sharded_dense(mesh):
+    """The per-shard bitpacked kernels (auto on binary data) must be
+    exactly equivalent to the dense per-shard kernels."""
+    X = _toy(seed=8)
+    mask = (np.random.default_rng(9).random(X.shape) < 0.8).astype(float)
+    for kw in ({}, dict(mask=mask), dict(mask=mask, mask_mode="corrected")):
+        a = _sharded(mesh, X, packed=False, **kw)
+        b = _sharded(mesh, X, packed=None, **kw)
+        np.testing.assert_array_equal(a.W, b.W)
+        np.testing.assert_array_equal(a.H, b.H)
+        np.testing.assert_array_equal(a.losses, b.losses)
