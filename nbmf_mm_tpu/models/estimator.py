@@ -119,6 +119,9 @@ class NBMFMM(*_BASES):
         Matmul precision ("default"/"high"/"highest" or lax.Precision).
     mesh : jax.sharding.Mesh, optional
         Shard the factorization over a device mesh with GSPMD.
+    mesh_axes : (str, str), default ("rows", "cols")
+        The mesh axis names the samples/features dimensions shard over;
+        must name axes of ``mesh``.
     backend : {"auto", "jnp", "pallas"}, default="auto"
         Compute backend for ``fit``: ``"auto"`` picks the fused Pallas
         kernels on TPU for <= f32 dtypes and XLA otherwise.
@@ -151,6 +154,7 @@ class NBMFMM(*_BASES):
         dtype=None,
         precision=None,
         mesh=None,
+        mesh_axes=("rows", "cols"),
         backend="auto",
         packed=None,
         use_numexpr=None,
@@ -174,6 +178,7 @@ class NBMFMM(*_BASES):
         self.dtype = dtype
         self.precision = precision
         self.mesh = mesh
+        self.mesh_axes = mesh_axes
         self.backend = backend
         self.packed = packed
         self.use_numexpr = use_numexpr
@@ -212,6 +217,7 @@ class NBMFMM(*_BASES):
             dtype=self.dtype,
             precision=self.precision,
             mesh=self.mesh,
+            mesh_axes=tuple(self.mesh_axes),
             backend=self.backend,
             packed=self.packed,
         )
@@ -278,7 +284,7 @@ class NBMFMM(*_BASES):
             # fold-in contraction automatically.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rows_ax, cols_ax = getattr(self, "mesh_axes", ("rows", "cols"))
+            rows_ax, cols_ax = self.mesh_axes
             xsh = NamedSharding(self.mesh, P(rows_ax, cols_ax))
             Ym = jax.device_put(Ym, xsh)
             Ym2 = jax.device_put(Ym2, xsh)

@@ -489,9 +489,10 @@ def loglik_sum(
 
 
 def _resident_params(dimension_semantics=None):
-    """Raise the scoped-VMEM cap for the resident-operand kernels: four
-    full-width (k, 10^4)-class f32 operands (~21 MB at k=128) exceed the
-    default ~16 MB scoped limit; v5e VMEM is 128 MB."""
+    """Raise the scoped-VMEM cap for kernels with VMEM-resident factors
+    (the stripe/packed variants): four full-width (k, 10^4)-class f32
+    operands (~21 MB at k=128) exceed the default ~16 MB scoped limit; v5e
+    VMEM is 128 MB."""
     if pltpu is None:
         return None
     return pltpu.CompilerParams(
@@ -500,209 +501,16 @@ def _resident_params(dimension_semantics=None):
     )
 
 
-# --------------------------------------------- resident-operand variants
-#
-# At small-to-moderate rank (k <= ~256) every (k, Mp)/(k, Np) operand fits
-# comfortably in VMEM (k=128, M=N=10^4 f32: 5.2 MB each), so instead of
-# re-fetching W/H tiles per grid step and revisiting blocked accumulators,
-# these variants pin W, H and the (k, ·) outputs in VMEM for the whole grid
-# (constant index maps) and stream ONLY the (m, n) data tiles from HBM.
-# Per grid step that removes the W/H tile DMAs and shrinks the step to
-# one data-tile fetch + compute — attacking the round-1 "revisited-
-# accumulator grid" headroom named in docs/performance.md.
-
-
-def hloss_terms_resident(
-    W: jnp.ndarray,
-    H: jnp.ndarray,
-    Ym: jnp.ndarray,
-    Yc: Optional[jnp.ndarray] = None,
-    *,
-    eps: float = 1e-8,
-    m_real: int,
-    n_real: int,
-    block_m: int = DEFAULT_BLOCK,
-    block_n: int = DEFAULT_BLOCK,
-    interpret: bool = False,
-):
-    """Fused H-update + loss pass with VMEM-resident W/H/Num/Den.
-
-    Semantics identical to :func:`hloss_terms`; layout differs only in
-    where operands live during the grid.
-    """
-    k, Mp = W.shape
-    _, Np = H.shape
-    bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
-    grid = (Np // bn, Mp // bm)  # m innermost (same accumulation order)
-    acc = _acc_dtype(W.dtype)
-    mxu = _mxu_dtype(Ym.dtype, W.dtype)
-    explicit_yc = Yc is not None
-
-    def kernel(*refs):
-        if explicit_yc:
-            w_ref, h_ref, ym_ref, yc_ref, num_ref, den_ref, ll_ref = refs
-        else:
-            w_ref, h_ref, ym_ref, num_ref, den_ref, ll_ref = refs
-            yc_ref = None
-
-        i, j = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(jnp.logical_and(i == 0, j == 0))
-        def _init():
-            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
-            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
-            ll_ref[0, 0] = jnp.zeros((), acc)
-
-        w = w_ref[:, pl.ds(pl.multiple_of(j * bm, bm), bm)].astype(mxu)
-        h = h_ref[:, pl.ds(pl.multiple_of(i * bn, bn), bn)].astype(mxu)
-        ym = ym_ref[...].astype(acc)
-        wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
-        )
-        yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
-        a = wh + eps
-        b = 1.0 - wh + eps
-        r = 1.0 / (a * b)
-        p = ym * (b * r)
-        q = yc * (a * r)
-        nsl = pl.ds(pl.multiple_of(i * bn, bn), bn)
-        num_ref[:, nsl] += jax.lax.dot_general(
-            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
-        )
-        den_ref[:, nsl] += jax.lax.dot_general(
-            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
-        )
-        ll = ym * jnp.log(a) + yc * jnp.log(b)
-        row = j * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-        col = i * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-        valid = jnp.logical_and(row < m_real, col < n_real)
-        ll_ref[0, 0] += jnp.sum(jnp.where(valid, ll, 0.0))
-
-    in_specs = [
-        pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),  # W resident
-        pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),  # H resident
-        pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM),  # Ym streamed
-    ]
-    if explicit_yc:
-        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=_VMEM))
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=_SMEM if pltpu else pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, Np), W.dtype),
-            jax.ShapeDtypeStruct((k, Np), W.dtype),
-            jax.ShapeDtypeStruct((1, 1), acc),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * Mp * Np * k,
-            bytes_accessed=Mp * Np * 4 * (2 if explicit_yc else 1),
-            transcendentals=2 * Mp * Np,
-        ),
-        compiler_params=_resident_params(),
-        interpret=interpret,
-    )
-    args = (W, H, Ym) + ((Yc,) if explicit_yc else ())
-    Num, Den, ll = call(*args)
-    return Num, Den, ll[0, 0]
-
-
-def w_terms_resident(
-    W: jnp.ndarray,
-    H_new: jnp.ndarray,
-    Ym: jnp.ndarray,
-    Ym2: Optional[jnp.ndarray] = None,
-    *,
-    n_real: int,
-    eps: float = 1e-8,
-    block_m: int = DEFAULT_BLOCK,
-    block_n: int = DEFAULT_BLOCK,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """W-update contraction with VMEM-resident W/H/T (see
-    :func:`hloss_terms_resident`); semantics identical to :func:`w_terms`."""
-    k, Mp = W.shape
-    _, Np = H_new.shape
-    bm, bn = _pick_block(Mp, block_m), _pick_block(Np, block_n)
-    grid = (Mp // bm, Np // bn)  # n innermost (same accumulation order)
-    acc = _acc_dtype(W.dtype)
-    mxu = _mxu_dtype(Ym.dtype, W.dtype)
-    explicit_ym2 = Ym2 is not None
-
-    def kernel(*refs):
-        if explicit_ym2:
-            w_ref, h_ref, ym_ref, ym2_ref, t_ref = refs
-        else:
-            w_ref, h_ref, ym_ref, t_ref = refs
-            ym2_ref = None
-
-        i, j = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(jnp.logical_and(i == 0, j == 0))
-        def _init():
-            t_ref[...] = jnp.zeros(t_ref.shape, t_ref.dtype)
-
-        msl = pl.ds(pl.multiple_of(i * bm, bm), bm)
-        w = w_ref[:, msl].astype(mxu)
-        h = h_ref[:, pl.ds(pl.multiple_of(j * bn, bn), bn)].astype(mxu)
-        ym = ym_ref[...].astype(acc)
-        wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
-        )
-        a = wh + eps
-        b = 1.0 - wh + eps
-        r = 1.0 / (a * b)
-        p = ym * (b * r)
-        if explicit_ym2:
-            ym2 = ym2_ref[...].astype(acc)
-        else:
-            col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-            ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
-        q = ym2 * (a * r)
-        # Same one-matmul identity as w_terms: H @ (P-Q).T + bcast(sum_n Q).
-        t_ref[:, msl] += jax.lax.dot_general(
-            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        ) + jnp.sum(q, axis=1)[None, :]
-
-    in_specs = [
-        pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),  # W resident
-        pl.BlockSpec((k, Np), lambda i, j: (0, 0), memory_space=_VMEM),  # H resident
-        pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=_VMEM),  # Ym streamed
-    ]
-    if explicit_ym2:
-        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=_VMEM))
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((k, Mp), lambda i, j: (0, 0), memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * Mp * Np * k,
-            bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
-            transcendentals=0,
-        ),
-        compiler_params=_resident_params(),
-        interpret=interpret,
-    )
-    args = (W, H_new, Ym) + ((Ym2,) if explicit_ym2 else ())
-    return call(*args)
-
-
 # ------------------------------------------------------- stripe variants
 #
-# Full-width data stripes: the stream sweep (tools/bench_stream.py) shows
-# the passes are HBM-element-bound and that (bm, Np) stripes reach the best
-# effective rate (~525 GB/s f32 vs ~457 GB/s for (512, 512) tiles).  The
-# grid runs over m only; W/H and the (k, ·) outputs are VMEM-resident.
-# The W stripe pass needs NO accumulation at all: each m-stripe computes
-# its T columns completely in one step.
+# Full-width (bm, Np) data stripes; the grid runs over m only, and W/H and
+# the (k, ·) outputs are VMEM-resident for the whole pass, so each grid
+# step is one data-stripe fetch + compute with no W/H tile re-fetch and no
+# revisited accumulators.  The W stripe pass needs NO accumulation at all:
+# each m-stripe computes its T columns completely in one step.  Measured
+# through real solver loops (slope-timed, see docs/performance.md): 1.52
+# ms/sweep dense vs ~2.0 for the (512, 512)-tiled grid at 10^4 x 10^4
+# K=128 f32 — the passes run at the 5-matmul MXU floor.
 
 
 def hloss_terms_stripe(
@@ -1133,166 +941,6 @@ def w_terms_packed(
     )
     args = (W, H_new, Yp) + ((Yp2,) if explicit2 else ())
     return call(*args)
-
-
-# ------------------------------------------------- fused dual-phase sweep
-def fused_sweep(
-    W: jnp.ndarray,
-    H: jnp.ndarray,
-    Ym: jnp.ndarray,
-    alpha,
-    beta,
-    *,
-    eps: float = 1e-8,
-    n_real: int,
-    block_m: int = 256,
-    interpret: bool = False,
-):
-    """ONE pallas_call per MM sweep: phase 0 streams the data once for the
-    H-update contractions + the shifted loss, computes ``H_new`` in a
-    last-stripe epilogue (Num/Den live in VMEM scratch and never touch
-    HBM); phase 1 streams the data again against ``H_new`` and writes each
-    ``W_new`` stripe fully finished (multiplicative update + per-column
-    simplex renormalization, which is column-local).
-
-    Motivation (measured): two *dependent* pallas calls per sweep cannot
-    pipeline across the call boundary — back-to-back chained kernels run at
-    2.05 ms/sweep vs 1.64 ms standalone sum.  Fusing both passes into one
-    call removes one of the two boundaries per sweep and all (k, n)/(k, m)
-    intermediate HBM round-trips.
-
-    Scope: unmasked data, ``projection="normalize"`` — the default fit
-    path.  ``alpha``/``beta`` are traced (1, 1) scalars.  Returns
-    ``(W_new, H_new, ll)`` where ``ll`` is the Bernoulli log-likelihood of
-    the *incoming* ``(W, H)`` over the real region (the shifted-loss
-    schedule), up to the constant sub-1e-8 pad bias documented in
-    :func:`hloss_terms_stripe`.
-
-    **Measured outcome: a pessimization — kept for the record, default
-    OFF.**  On the v5e this runs at 3.68 ms/sweep vs ~2.05 for the two
-    chained stripe calls: the phase-predicated grid (every step carries
-    both phase bodies under ``pl.when``) defeats Mosaic's stripe pipeline,
-    costing far more than the one inter-call boundary it removes.  The
-    production path (``_solve_core_pallas`` with ``fused=False``) stays on
-    the two-call structure.
-    """
-    k, Mp = W.shape
-    _, Np = H.shape
-    bm = _pick_block(Mp, block_m)
-    S = Mp // bm
-    grid = (2, S)  # phase-major: all H/loss stripes, then all W stripes
-    acc = _acc_dtype(W.dtype)
-    mxu = _mxu_dtype(Ym.dtype, W.dtype)
-
-    def kernel(w_ref, h_ref, ym_ref, ab_ref, wout_ref, hout_ref, ll_ref,
-               num_ref, den_ref):
-        phase, j = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(jnp.logical_and(phase == 0, j == 0))
-        def _init():
-            num_ref[...] = jnp.zeros(num_ref.shape, num_ref.dtype)
-            den_ref[...] = jnp.zeros(den_ref.shape, den_ref.dtype)
-            ll_ref[0, 0] = jnp.zeros((), acc)
-
-        msl = pl.ds(pl.multiple_of(j * bm, bm), bm)
-
-        @pl.when(phase == 0)
-        def _h_phase():
-            w = w_ref[:, msl].astype(mxu)
-            h = h_ref[...].astype(mxu)
-            ym = ym_ref[...].astype(acc)
-            wh = jax.lax.dot_general(
-                w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
-            )
-            a = wh + eps
-            b = 1.0 - wh + eps
-            r = 1.0 / (a * b)
-            p = ym * (b * r)
-            yc = 1.0 - ym
-            q = yc * (a * r)
-            num_ref[...] += jax.lax.dot_general(
-                w, p.astype(mxu), (((1,), (0,)), ((), ())),
-                preferred_element_type=acc,
-            )
-            den_ref[...] += jax.lax.dot_general(
-                w, q.astype(mxu), (((1,), (0,)), ((), ())),
-                preferred_element_type=acc,
-            )
-            ll = ym * jnp.log(a) + yc * jnp.log(b)
-            ll_ref[0, 0] += jnp.sum(ll)
-
-        @pl.when(jnp.logical_and(phase == 0, j == S - 1))
-        def _h_epilogue():
-            # H update from the completed Num/Den (reference formulas
-            # _solver.py:42-47), pad columns re-zeroed.
-            al = ab_ref[0, 0]
-            be = ab_ref[0, 1]
-            Hold = h_ref[...]
-            num = Hold * num_ref[...] + (al - 1.0)
-            den = (1.0 - Hold) * den_ref[...] + (be - 1.0)
-            H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
-            col = jax.lax.broadcasted_iota(jnp.int32, H_new.shape, 1)
-            hout_ref[...] = jnp.where(col < n_real, H_new, 0.0)
-
-        @pl.when(phase == 1)
-        def _w_phase():
-            w = w_ref[:, msl].astype(mxu)
-            h_new = hout_ref[...].astype(mxu)
-            ym = ym_ref[...].astype(acc)
-            wh = jax.lax.dot_general(
-                w, h_new, (((0,), (0,)), ((), ())), preferred_element_type=acc
-            )
-            a = wh + eps
-            b = 1.0 - wh + eps
-            r = 1.0 / (a * b)
-            p = ym * (b * r)
-            col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
-            ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
-            q = ym2 * (a * r)
-            T = jax.lax.dot_general(
-                h_new, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
-                preferred_element_type=acc,
-            ) + jnp.sum(q, axis=1)[None, :]
-            W_raw = w_ref[:, msl] * T / n_real
-            cols = W_raw.sum(axis=0, keepdims=True)
-            wout_ref[:, msl] = W_raw / jnp.where(cols > 0, cols, 1.0)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((k, Mp), lambda p, j: (0, 0), memory_space=_VMEM),  # W
-            pl.BlockSpec((k, Np), lambda p, j: (0, 0), memory_space=_VMEM),  # H
-            pl.BlockSpec((bm, Np), lambda p, j: (j, 0), memory_space=_VMEM),  # Ym
-            pl.BlockSpec((1, 2), lambda p, j: (0, 0),
-                         memory_space=_SMEM if pltpu else pl.ANY),  # (alpha, beta)
-        ],
-        out_specs=(
-            pl.BlockSpec((k, Mp), lambda p, j: (0, 0), memory_space=_VMEM),  # W_new
-            pl.BlockSpec((k, Np), lambda p, j: (0, 0), memory_space=_VMEM),  # H_new
-            pl.BlockSpec((1, 1), lambda p, j: (0, 0),
-                         memory_space=_SMEM if pltpu else pl.ANY),  # ll
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, Mp), W.dtype),
-            jax.ShapeDtypeStruct((k, Np), W.dtype),
-            jax.ShapeDtypeStruct((1, 1), acc),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((k, Np), acc),  # Num
-            pltpu.VMEM((k, Np), acc),  # Den
-        ] if pltpu else [],
-        cost_estimate=pl.CostEstimate(
-            flops=12 * Mp * Np * k,
-            bytes_accessed=2 * Mp * Np * 4,
-            transcendentals=2 * Mp * Np,
-        ),
-        compiler_params=_resident_params(),
-        interpret=interpret,
-    )
-    ab = jnp.stack([jnp.asarray(alpha, W.dtype), jnp.asarray(beta, W.dtype)])
-    W_new, H_new, ll = call(W, H, Ym, ab.reshape(1, 2))
-    return W_new, H_new, ll[0, 0]
 
 
 def select_stripe(k: int, Mp: int, Np: int, n_data: int,

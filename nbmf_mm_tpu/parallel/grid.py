@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops.updates import precompute_masked_terms
 from ..solver.driver import (
+    _exactly_binary,
     _resolve_backend,
     _resolve_dtype,
     _resolve_precision,
@@ -51,6 +52,7 @@ def grid_solve(
     block_m: Optional[int] = None,
     block_n: Optional[int] = None,
     pallas_interpret: bool = False,
+    packed: Optional[bool] = None,
 ):
     """Solve NBMF-MM for every (alpha, beta) cell in one batched program.
 
@@ -58,6 +60,10 @@ def grid_solve(
     ``len(alphas) x len(betas)``; ``"zip"`` pairs them elementwise.  All cells
     share the same seeded initialization (as the reference's grid loop does
     with a fixed ``random_state``), isolating the hyperparameter effect.
+
+    ``packed`` follows :func:`~nbmf_mm_tpu.solver.driver.solve`'s contract:
+    ``None`` auto-bitpacks exactly-binary data on the Pallas path, ``False``
+    disables, ``True`` requires eligibility and raises otherwise.
 
     Returns a dict of stacked results with a leading grid axis:
     ``W (G, m, k)``, ``H (G, k, n)``, ``losses (G, max_iter)``,
@@ -120,16 +126,25 @@ def grid_solve(
             masked=mask is not None, mask_mode=mask_mode,
             block_m=bm, block_n=bn,
         )
-        # Bitpack exactly-binary operands (same auto rule as driver.solve);
-        # all grid cells share one packed copy of the data.
+        # Bitpack exactly-binary operands (same auto rule + opt-out knob as
+        # driver.solve); all grid cells share one packed copy of the data.
+        # Unmasked, only Ym is streamed (the complement is synthesized
+        # in-register), so only Ym's binaryness matters.
         Mp, Np = Ymp.shape
         can_pack, pack_bm = ps.select_stripe(
             k, Mp, Np, 1 + (Ym2p is not None), packed=True
         )
-        binary = bool(jnp.all((Ym == 0) | (Ym == 1))) and (
-            Ym2 is None or bool(jnp.all((Ym2 == 0) | (Ym2 == 1)))
+        use_packed = (
+            packed is not False
+            and can_pack
+            and _exactly_binary(Ym)
+            and (mask is None or _exactly_binary(Ym2))
         )
-        use_packed = can_pack and binary
+        if packed is True and not use_packed:
+            raise ValueError(
+                "packed=True requires exactly binary data (and mask) and "
+                "stripe-eligible shapes"
+            )
         if use_packed:
             pk = jax.jit(ps.pack_bits, static_argnums=1)
             Ymp = pk(Ymp, pack_bm)
@@ -151,6 +166,11 @@ def grid_solve(
         )
         W, H = W[:, :, :m], H[:, :, :n]
     else:
+        if packed is True:
+            raise ValueError(
+                "packed=True requires the Pallas backend (backend='pallas', "
+                "or 'auto' resolving to Pallas on TPU with dtype <= float32)"
+            )
         core = partial(
             _solve_core,
             max_iter=max_iter,

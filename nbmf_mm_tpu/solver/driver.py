@@ -184,7 +184,6 @@ def _solve_core(
         "block_m",
         "block_n",
         "interpret",
-        "fused",
         "packed",
     ),
 )
@@ -208,7 +207,6 @@ def _solve_core_pallas(
     block_m: int,
     block_n: int,
     interpret: bool = False,
-    fused: bool = False,
     packed: bool = False,
 ):
     """Pallas-path MM loop on zero-padded operands (see
@@ -248,19 +246,6 @@ def _solve_core_pallas(
     use_stripe, stripe_bm = ps.select_stripe(k_dim, Mp, Np, n_data, packed=packed)
     if packed and not use_stripe:  # solve() gates packing on stripe fit
         raise ValueError("packed operands require stripe-eligible shapes")
-    # One-call-per-sweep fused kernel: unmasked + normalize + stripe-fit
-    # only (the fit default); removes one inter-kernel pipeline boundary
-    # per sweep (measured: dependent back-to-back calls cannot pipeline
-    # across the boundary).  Disabled under vmap (solve sets fused only
-    # for n_init == 1).
-    use_fused = (
-        fused
-        and use_stripe
-        and not packed
-        and Ym2p is None
-        and Ycp is None
-        and projection == "normalize"
-    )
     if packed:
         # Ycp is the packed masked complement in corrected mode (same words
         # as Ym2p), None otherwise — mirroring the dense operand contract.
@@ -319,13 +304,7 @@ def _solve_core_pallas(
 
     def body(carry):
         W, H, losses, prev1, it, done = carry
-        if use_fused:
-            W_fused, H_fused, ll = ps.fused_sweep(
-                W, H, Ymp, alpha, beta, eps=eps, n_real=n_real,
-                block_m=stripe_bm, interpret=interpret,
-            )
-        else:
-            Num, Den, ll = hloss_fn(W, H)
+        Num, Den, ll = hloss_fn(W, H)
         loss_cur = objective_from_ll(ll, H)  # loss of sweep it-1 (garbage at it=0)
         if verbose > 0:
             jax.lax.cond(
@@ -351,10 +330,7 @@ def _solve_core_pallas(
         # lax.cond to skip the final sweep is a PESSIMIZATION (2.43 vs 2.02
         # ms/sweep — the cond-outlined pallas_call loses cross-call
         # pipelining), so plain selects are used for every n_init.
-        if use_fused:
-            W_new, H_new = W_fused, H_fused
-        else:
-            W_new, H_new = finish_sweep(W, H, Num, Den)
+        W_new, H_new = finish_sweep(W, H, Num, Den)
         W_out = jnp.where(done_out, W, W_new)
         H_out = jnp.where(done_out, H, H_new)
         prev_out = jnp.where(rec, loss_cur, prev1)
@@ -394,6 +370,18 @@ def _solve_core_pallas(
         done, jnp.logical_and(need_final, jnp.logical_and(n_iter >= 2, rel_fin < tol))
     )
     return W, H, losses, n_iter, final_loss, done
+
+
+def _exactly_binary(A) -> bool:
+    """True when every entry of ``A`` is exactly 0 or 1 (None counts as
+    trivially binary).  Shared eligibility rule for the bitpacked kernels
+    (:func:`solve`, :func:`~nbmf_mm_tpu.parallel.grid.grid_solve`)."""
+    if A is None:
+        return True
+    if isinstance(A, jax.Array):
+        return bool(jnp.all((A == 0) | (A == 1)))
+    Anp = np.asarray(A)
+    return bool(((Anp == 0) | (Anp == 1)).all())
 
 
 def _resolve_backend(backend: str, dtype) -> bool:
@@ -516,9 +504,13 @@ def solve(
     - ``packed``: bitpack exactly-binary operands into int32 bit-plane
       words for the stripe kernels (32 entries/word: ~32x less HBM stream
       and data memory; results bit-identical).  ``None`` (default) enables
-      it automatically when the data — and the mask, if given — are exactly
-      0/1 and the shapes are stripe-eligible; ``False`` disables; ``True``
-      requires eligibility and raises otherwise.  Single-chip Pallas path.
+      it automatically on the Pallas paths (single-chip and sharded) when
+      the data — and the mask, if given — are exactly 0/1, the shapes are
+      stripe-eligible, and no explicit bf16 data mode was requested
+      (``dtype='bfloat16'`` wins over auto-packing; it is superseded by
+      packing only when you don't ask for it).  ``False`` disables;
+      ``True`` requires eligibility — Pallas backend, binary operands,
+      stripe-fit, no bf16 mode — and raises otherwise on every routing.
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
@@ -625,6 +617,22 @@ def solve(
 
     use_pallas = _resolve_backend(backend, dtype)
 
+    # ``packed=True`` is an explicit demand, validated for EVERY routing up
+    # front (auto-packing below remains silent best-effort): it needs the
+    # Pallas data-streaming kernels, and it replaces the data stream
+    # entirely, so combining it with bf16 data storage is contradictory.
+    if packed is True:
+        if not use_pallas:
+            raise ValueError(
+                "packed=True requires the Pallas backend (backend='pallas', "
+                "or 'auto' resolving to Pallas on TPU with dtype <= float32)"
+            )
+        if data_dtype is not None:
+            raise ValueError(
+                "packed=True is incompatible with dtype='bfloat16': packing "
+                "replaces the data stream (and is both smaller and exact)"
+            )
+
     if use_pallas and mesh is None:
         # Memory-frugal operand construction for the fused kernels: build
         # only the arrays the kernels actually read (the parity-mode
@@ -676,10 +684,12 @@ def solve(
         from ..ops import pallas_sweep as ps
         from .sharded import solve_core_sharded
 
-        def _binary(A):
-            return A is None or bool(jnp.all((A == 0) | (A == 1)))
-
-        pk_sharded = packed is not False and _binary(Ym) and _binary(Ym2)
+        binary_ok = _exactly_binary(Ym) and _exactly_binary(Ym2)
+        if packed is True and not binary_ok:
+            raise ValueError(
+                "packed=True requires exactly binary data (and mask)"
+            )
+        pk_sharded = packed is not False and data_dtype is None and binary_ok
         Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b = solve_core_sharded(
             Ym, Ym2, Yc, W0, H0,
             jnp.array(alpha, dtype=dtype),
@@ -698,6 +708,7 @@ def solve(
             interpret=pallas_interpret,
             data_dtype=data_dtype,
             packed=pk_sharded,
+            packed_required=packed is True,
         )
         best = int(jnp.argmin(final_loss_b)) if n_init > 1 else 0
         all_final = np.asarray(final_loss_b) if n_init > 1 else None
@@ -721,23 +732,19 @@ def solve(
         Np = ps.round_up(n, ps._pick_block(n, bn))
         pad_mn = lambda A: None if A is None else jnp.pad(A, ((0, Mp - m), (0, Np - n)))
         pad_last = lambda A, t: jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])])
-        Ymp, Ym2p, Ycp = pad_mn(Ym), pad_mn(Ym2), pad_mn(Yc)
+        Ymp, Ym2p = pad_mn(Ym), pad_mn(Ym2)
+        # Corrected mode's Yc IS Ym2 (same array) — alias the padded buffer
+        # instead of materializing a second identical (Mp, Np) array.
+        Ycp = Ym2p if Yc is not None else None
         W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
 
         # ---- bitpacking (binary operands only; see solve() docstring) ----
-        def _exactly_binary(A):
-            if A is None:
-                return True
-            if isinstance(A, jax.Array):
-                return bool(jnp.all((A == 0) | (A == 1)))
-            Anp = np.asarray(A)
-            return bool(((Anp == 0) | (Anp == 1)).all())
-
         can_pack, pack_bm = ps.select_stripe(
             k, Mp, Np, 1 + (Ym2p is not None), packed=True
         )
         use_packed = (
             packed is not False
+            and data_dtype is None  # explicit bf16 data mode wins over auto
             and can_pack
             # the operands the kernels stream must be exactly 0/1 — checks
             # Ym/Ym2 (post-masking), not Y, so continuous values at

@@ -78,6 +78,7 @@ def solve_core_sharded(
     interpret: bool = False,
     data_dtype=None,
     packed: bool = False,
+    packed_required: bool = False,
 ):
     """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
 
@@ -137,6 +138,12 @@ def solve_core_sharded(
     use_packed, pack_bm = False, None
     if packed:
         use_packed, pack_bm = ps.select_stripe(k, m_loc, n_loc, 3, packed=True)
+    if packed_required and not use_packed:
+        # solve(packed=True): an explicit demand must not silently run dense.
+        raise ValueError(
+            "packed=True: the per-device local stripe geometry "
+            f"(k={k}, m_loc={m_loc}, n_loc={n_loc}) is not stripe-eligible"
+        )
 
     def local_loop(Ym_l, Ym2_l, Yc_l, W_b0, H_b0, Vn_l, alpha, beta, tol, n_obs):
         if use_packed:

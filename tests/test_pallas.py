@@ -146,3 +146,47 @@ def test_pallas_mesh_n_init_supported():
     )
     assert res.all_final_losses.shape == (2,)
     assert np.isfinite(res.losses[-1])
+
+
+def test_packed_true_rejects_non_pallas_backend():
+    """packed=True is validated on EVERY routing, not just the Pallas one."""
+    with pytest.raises(ValueError, match="packed=True requires the Pallas"):
+        solve(_toy(), 4, max_iter=5, random_state=0, packed=True,
+              backend="jnp", **F32)
+
+
+def test_packed_true_rejects_bf16_mode():
+    """Packing replaces the data stream, so combining it with an explicit
+    bf16 data-storage request is contradictory."""
+    with pytest.raises(ValueError, match="incompatible with dtype='bfloat16'"):
+        solve(_toy(), 4, max_iter=5, random_state=0, packed=True,
+              dtype="bfloat16", **PALLAS)
+
+
+def test_bf16_mode_disables_auto_packing(monkeypatch):
+    """dtype='bfloat16' is an explicit data-storage request; the packed auto
+    rule must not silently override it (pack_bits must never run)."""
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    def _boom(*a, **k):
+        raise AssertionError("pack_bits must not be called in bf16 mode")
+
+    monkeypatch.setattr(ps, "pack_bits", _boom)
+    r = solve(_toy(), 4, max_iter=5, random_state=0, dtype="bfloat16", **PALLAS)
+    assert np.all(np.isfinite(r.losses))
+
+
+def test_f32_auto_packing_engages(monkeypatch):
+    """The auto rule (packed=None) does pack eligible binary f32 data."""
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    calls = []
+    orig = ps.pack_bits
+
+    def _spy(A, bm):
+        calls.append(bm)
+        return orig(A, bm)
+
+    monkeypatch.setattr(ps, "pack_bits", _spy)
+    solve(_toy(), 4, max_iter=5, random_state=0, **F32, **PALLAS)
+    assert calls, "auto-packing did not engage on binary f32 data"

@@ -83,3 +83,23 @@ def test_grid_solve_zip_mode_and_masked():
     assert np.all(np.isfinite(res["final_loss"]))
     with pytest.raises(ValueError, match="zip"):
         grid_solve(X, 3, [1.0], [1.0, 2.0], pair_mode="zip")
+
+
+def test_grid_solve_packed_contract():
+    """grid_solve follows solve()'s packed contract: True demands
+    eligibility (binary data + Pallas backend), False opts out."""
+    X = _toy(seed=4)
+    Xc = X.copy()
+    Xc[0, 0] = 0.5  # valid input, not exactly binary
+    # 128-blocks: the packed stripes need 128-row alignment (Mp=64 from
+    # 64-blocks is not packed-eligible)
+    pallas_kw = dict(backend="pallas", pallas_interpret=True,
+                     block_m=128, block_n=128, max_iter=20)
+    with pytest.raises(ValueError, match="packed=True requires"):
+        grid_solve(Xc, 3, [1.0], [1.0], packed=True, **pallas_kw)
+    with pytest.raises(ValueError, match="packed=True requires the Pallas"):
+        grid_solve(X, 3, [1.0], [1.0], packed=True, backend="jnp", max_iter=20)
+    a = grid_solve(X, 3, [1.0, 2.0], [1.5], packed=False, **pallas_kw)
+    b = grid_solve(X, 3, [1.0, 2.0], [1.5], packed=True, **pallas_kw)
+    np.testing.assert_array_equal(a["W"], b["W"])
+    np.testing.assert_array_equal(a["losses"], b["losses"])

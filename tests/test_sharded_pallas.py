@@ -101,3 +101,10 @@ def test_sharded_packed_matches_sharded_dense(mesh):
         np.testing.assert_array_equal(a.W, b.W)
         np.testing.assert_array_equal(a.H, b.H)
         np.testing.assert_array_equal(a.losses, b.losses)
+
+
+def test_sharded_packed_true_rejects_continuous(mesh):
+    X = _toy(seed=10)
+    X[0, 0] = 0.5
+    with pytest.raises(ValueError, match="packed=True requires exactly binary"):
+        _sharded(mesh, X, packed=True)

@@ -70,3 +70,21 @@ def test_shardings_specs(mesh):
     assert dsh.spec == jax.sharding.PartitionSpec("rows", "cols")
     assert wsh.spec == jax.sharding.PartitionSpec(None, None, "rows")
     assert hsh.spec == jax.sharding.PartitionSpec(None, None, "cols")
+
+
+def test_estimator_custom_mesh_axis_names():
+    """A mesh with non-default axis names works end-to-end (fit + transform)
+    when the estimator is told the names via mesh_axes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    custom = make_mesh(jax.devices()[:8], shape=(4, 2), axis_names=("x", "y"))
+    X = _toy(seed=6)
+    m = NBMF(
+        n_components=3, max_iter=30, random_state=0,
+        mesh=custom, mesh_axes=("x", "y"),
+    ).fit(X)
+    W = m.transform(X)
+    assert W.shape == (X.shape[0], 3)
+    assert np.all(np.isfinite(W))
+    plain = NBMF(n_components=3, max_iter=30, random_state=0).fit(X)
+    np.testing.assert_allclose(m.W_, plain.W_, rtol=1e-10, atol=1e-12)
