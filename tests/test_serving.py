@@ -155,3 +155,31 @@ def test_mesh_sharded_estimator_transform(model):
     # assert equivalent fit quality rather than exact factors.
     np.testing.assert_allclose(W_mesh.sum(axis=1), 1.0, atol=1e-9)
     assert mean_ll(W_mesh) >= mean_ll(W_ref) - 2e-3
+
+
+def test_packed_serving_bitwise_matches_dense(model):
+    """Auto-packed serving chunks (binary data) must be bit-identical to
+    the dense kernels, masked and unmasked."""
+    rng = np.random.default_rng(7)
+    Xnew = (rng.random((200, 40)) < 0.3).astype(float)
+    mask = (rng.random((200, 40)) < 0.8).astype(float)
+    kw = dict(buckets=(256,), dtype="float32", backend="pallas",
+              pallas_interpret=True, block_m=128, block_n=128)
+    for mk in (None, mask):
+        Wd, sd = FoldInServer(model, packed=False, **kw).transform(Xnew, mask=mk)
+        Wp, sp = FoldInServer(model, packed=None, **kw).transform(Xnew, mask=mk)
+        np.testing.assert_array_equal(Wp, Wd)
+        np.testing.assert_array_equal(sp, sd)
+
+
+def test_packed_serving_continuous_fallback(model):
+    """A confidence-weighted (continuous) mask makes the chunk ineligible:
+    the auto rule must serve it through the dense kernels, same results."""
+    rng = np.random.default_rng(8)
+    Xnew = (rng.random((50, 40)) < 0.3).astype(float)
+    w = rng.random((50, 40))
+    kw = dict(buckets=(64,), dtype="float32", backend="pallas",
+              pallas_interpret=True, block_m=128, block_n=128)
+    Wd, _ = FoldInServer(model, packed=False, **kw).transform(Xnew, mask=w)
+    Wa, _ = FoldInServer(model, packed=None, **kw).transform(Xnew, mask=w)
+    np.testing.assert_array_equal(Wa, Wd)
