@@ -44,7 +44,7 @@ __all__ = ["FoldInServer"]
     ),
 )
 def _fold_in_batch_pallas(
-    Hp, Xp, maskp, W0t, *, n_iter: int, n_real: int, eps: float,
+    Hp, A, B, W0t, *, n_iter: int, n_real: int, eps: float,
     block_m: int, block_n: int, interpret: bool,
     stripe: bool = False, packed: bool = False,
 ):
@@ -56,26 +56,29 @@ def _fold_in_batch_pallas(
     (b, n) ratio temporaries in HBM that the XLA path builds — at
     10^4-row serving batches that is the difference between ~3 reads +
     2 writes of the batch per iteration and a single read.
-    ``stripe=True`` uses the full-width stripe kernel (``block_m`` is the
-    stripe height, ``block_n`` ignored); ``packed=True`` (caller guarantees
-    exactly-binary data and mask) bitpacks the batch ONCE and the
-    ``n_iter`` iterations stream int32 bit-plane words — 1/32 the per-
-    iteration data traffic, bit-identical results.
 
-    Operand contract: ``Hp (k, Np)``, ``Xp/maskp (Bp, Np)`` zero-padded
-    (pad rows/cols all-zero in *both* data and mask, so their ratio terms
-    vanish and pad columns of ``W`` stay exactly zero through the
-    multiplicative updates), ``W0t (k, Bp)`` with zero pad columns.
+    ``packed=False``: ``A`` is the padded data ``Xp (Bp, Np)`` and ``B``
+    the padded mask; ``stripe=True`` uses the full-width stripe kernel
+    (``block_m`` is the stripe height, ``block_n`` ignored).
+    ``packed=True``: ``A``/``B`` are HOST-PACKED int32 bit-plane words for
+    ``Ym = X*mask`` / ``Ym2 = (1-X)*mask`` (:func:`pack_bits_host` — the
+    chunk crosses the host-device link at 1/32 the bytes), and all
+    ``n_iter`` iterations stream the words — bit-identical results; the
+    single scoring pass unpacks them once in-program.
+
+    Operand contract: ``Hp (k, Np)``; data/mask zero-padded (pad rows/cols
+    all-zero in *both*, so their ratio terms vanish and pad columns of
+    ``W`` stay exactly zero through the multiplicative updates);
+    ``W0t (k, Bp)`` with zero pad columns.
     """
     from ..ops import pallas_sweep as ps
 
-    Ym = Xp * maskp
-    Ym2 = (1.0 - Xp) * maskp
-    n_features = jnp.asarray(n_real, Xp.dtype)
-
     if packed:
-        Ymp = ps.pack_bits(Ym, block_m)
-        Ym2p = ps.pack_bits(Ym2, block_m)
+        Ymp, Ym2p = A, B
+        # Dense 0/1 copies ONLY for the single scoring pass after the loop
+        # (the iterations never touch them).
+        Ym = ps.unpack_bits(Ymp, block_m, dtype=W0t.dtype)
+        Ym2 = ps.unpack_bits(Ym2p, block_m, dtype=W0t.dtype)
 
         def contraction(Wt):
             return ps.w_terms_packed(
@@ -83,12 +86,16 @@ def _fold_in_batch_pallas(
                 block_m=block_m, interpret=interpret,
             )
     else:
+        Ym = A * B
+        Ym2 = (1.0 - A) * B
+
         def contraction(Wt):
             return ps.w_terms(
                 Wt, Hp, Ym, Ym2, n_real=n_real, eps=eps,
                 block_m=block_m, block_n=block_n, interpret=interpret,
                 stripe=stripe,
             )
+    n_features = jnp.asarray(n_real, W0t.dtype)
 
     def body(_, Wt):
         Wt = Wt * contraction(Wt) / n_features
@@ -312,10 +319,18 @@ class FoldInServer:
             can_stripe, stripe_bm = ps.select_stripe(self.k, Bp, Np, 2)
             if can_stripe:
                 use_stripe, bm = True, stripe_bm
+        if use_packed:
+            # Pack on the HOST: the chunk crosses the host-device link as
+            # int32 bit-plane words — 1/32 the transfer bytes (the dominant
+            # serving cost through a remote-device tunnel).
+            A = jnp.asarray(ps.pack_bits_host(Xp * mp, bm))
+            B = jnp.asarray(ps.pack_bits_host((1.0 - Xp) * mp, bm))
+        else:
+            A, B = jnp.asarray(Xp), jnp.asarray(mp)
         W, scores = _fold_in_batch_pallas(
             self._Hp,
-            jnp.asarray(Xp),
-            jnp.asarray(mp),
+            A,
+            B,
             W0t,
             n_iter=self.n_iter,
             n_real=self.n_features,

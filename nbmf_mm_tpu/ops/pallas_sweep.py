@@ -750,6 +750,45 @@ def pack_bits(Ymp: jnp.ndarray, block_m: int) -> jnp.ndarray:
     return packed.reshape(Mp // PACKED_WORD_BITS, Np)
 
 
+def pack_bits_host(Ymp: np.ndarray, block_m: int) -> np.ndarray:
+    """NumPy mirror of :func:`pack_bits` — identical words, computed on the
+    host so callers can ship 1/32 the bytes over the host-device link
+    (serving-path transfer optimization).  Asserted bit-equal to the device
+    packer in the test suite."""
+    Mp, Np = Ymp.shape
+    bm = _pick_block(Mp, block_m)
+    if bm % PACKED_WORD_BITS != 0 or Mp % bm != 0:
+        raise ValueError(f"pack_bits_host: invalid stripe {block_m} for Mp={Mp}")
+    bmw = bm // PACKED_WORD_BITS
+    S = Mp // bm
+    # uint32 intermediate: 1 << 31 overflows int32 in NumPy (unlike XLA's
+    # silent wraparound); the final .view(int32) is a bit-cast.
+    bits = np.ascontiguousarray(Ymp, dtype=np.uint32).reshape(
+        S, PACKED_WORD_BITS, bmw, Np
+    )
+    shifts = np.arange(PACKED_WORD_BITS, dtype=np.uint32)[None, :, None, None]
+    packed = np.bitwise_or.reduce(bits << shifts, axis=1)
+    return np.ascontiguousarray(packed).view(np.int32).reshape(
+        Mp // PACKED_WORD_BITS, Np
+    )
+
+
+def unpack_bits(P: jnp.ndarray, block_m: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`pack_bits`: ``(Mp//32, Np)`` int32 words back to a
+    dense ``(Mp, Np)`` 0/1 matrix (plain XLA ops; used for the occasional
+    non-streaming pass over data that only exists packed)."""
+    Mw, Np = P.shape
+    Mp = Mw * PACKED_WORD_BITS
+    bm = _pick_block(Mp, block_m)
+    bmw = bm // PACKED_WORD_BITS
+    S = Mp // bm
+    words = P.reshape(S, bmw, Np)
+    planes = jnp.stack(
+        [(words << (31 - b)) < 0 for b in range(PACKED_WORD_BITS)], axis=1
+    )  # (S, 32, bmw, Np) — same axis order pack_bits packed from
+    return planes.reshape(Mp, Np).astype(dtype)
+
+
 def _unpack_bitmask(pw: jnp.ndarray, bm: int) -> jnp.ndarray:
     """``(bmw, Np)`` int32 words -> ``(bm, Np)`` bool in original row order.
 

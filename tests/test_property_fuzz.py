@@ -165,3 +165,22 @@ def test_return_all_consistency_fuzz(seed, n_init):
         np.testing.assert_allclose(ex["all_W"][i].sum(axis=1), 1.0, atol=1e-8)
         li = ex["all_losses"][i][: ex["all_n_iter"][i]]
         assert np.all(np.isfinite(li)) and np.all(np.diff(li) <= 1e-10)
+
+
+@given(st.integers(0, 2**31 - 1), st.sampled_from([128, 256]),
+       st.integers(1, 4), st.integers(1, 3))
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_host_pack_matches_device_pack_fuzz(seed, bm, sm, sn):
+    """pack_bits_host must produce bit-identical words to the device packer
+    for every stripe geometry, and unpack_bits must invert both."""
+    import jax.numpy as jnp
+
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    rng = np.random.default_rng(seed)
+    Mp, Np = bm * sm, 128 * sn
+    X = (rng.random((Mp, Np)) < rng.uniform(0.1, 0.9)).astype(np.float32)
+    host = ps.pack_bits_host(X, bm)
+    dev = np.asarray(ps.pack_bits(jnp.asarray(X), bm))
+    np.testing.assert_array_equal(host, dev)
+    np.testing.assert_array_equal(np.asarray(ps.unpack_bits(jnp.asarray(host), bm)), X)
