@@ -761,14 +761,19 @@ def pack_bits_host(Ymp: np.ndarray, block_m: int) -> np.ndarray:
         raise ValueError(f"pack_bits_host: invalid stripe {block_m} for Mp={Mp}")
     bmw = bm // PACKED_WORD_BITS
     S = Mp // bm
-    # uint32 intermediate: 1 << 31 overflows int32 in NumPy (unlike XLA's
-    # silent wraparound); the final .view(int32) is a bit-cast.
-    bits = np.ascontiguousarray(Ymp, dtype=np.uint32).reshape(
+    # np.packbits along a contiguous trailing 32-bit axis runs at C
+    # memcpy-class speed (a broadcast shift + strided bitwise_or.reduce is
+    # ~50x slower at 1e8 entries).  With bitorder="little", byte j of each
+    # 4-byte group holds bits 8j..8j+7, so the little-endian uint32 view
+    # has value bit b == plane bit b — exactly the device packer's layout.
+    bits = np.ascontiguousarray(Ymp, dtype=np.uint8).reshape(
         S, PACKED_WORD_BITS, bmw, Np
     )
-    shifts = np.arange(PACKED_WORD_BITS, dtype=np.uint32)[None, :, None, None]
-    packed = np.bitwise_or.reduce(bits << shifts, axis=1)
-    return np.ascontiguousarray(packed).view(np.int32).reshape(
+    bits = np.ascontiguousarray(np.moveaxis(bits, 1, -1))  # (S, bmw, Np, 32)
+    words = np.packbits(bits, axis=-1, bitorder="little")  # (S, bmw, Np, 4) u8
+    if not np.little_endian:  # pragma: no cover — TPU hosts are LE
+        raise RuntimeError("pack_bits_host requires a little-endian host")
+    return words.view(np.uint32).view(np.int32).reshape(
         Mp // PACKED_WORD_BITS, Np
     )
 

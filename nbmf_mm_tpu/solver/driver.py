@@ -604,7 +604,12 @@ def solve(
     if mask is None:
         n_obs = jnp.array(Y.size, dtype=dtype)
     else:
-        n_obs = jnp.count_nonzero(mask).astype(dtype)
+        # Count host-side masks on the host — jnp.count_nonzero on a numpy
+        # mask would ship the whole dense array to the device just to count.
+        if isinstance(mask, np.ndarray):
+            n_obs = jnp.array(np.count_nonzero(mask), dtype=dtype)
+        else:
+            n_obs = jnp.count_nonzero(mask).astype(dtype)
         if float(n_obs) == 0.0:
             # Pinned contract (the reference divides by zero silently,
             # _solver.py:162): a mask with no observed entries makes the
@@ -639,16 +644,32 @@ def solve(
         # complement is synthesized in-register), and cast to the bf16 data
         # dtype BEFORE any padding so no full-size f32 copies linger — at
         # 1e9-entry scale the difference is several HBM-GB of peak usage.
-        Yj = jnp.asarray(Y)
-        if data_dtype is not None:
-            Yj = Yj.astype(data_dtype)
-        if mask is None:
-            Ym, Ym2, Yc = Yj, None, None
+        # HOST inputs stay numpy here: if the packing decision below fires,
+        # the data then crosses the host-device link as bit-plane words at
+        # 1/32 the bytes (device-resident inputs keep the on-device path).
+        host_side = (
+            data_dtype is None
+            and isinstance(Y, np.ndarray)
+            and (mask is None or isinstance(mask, np.ndarray))
+        )
+        if host_side:
+            if mask is None:
+                Ym, Ym2, Yc = Y, None, None
+            else:
+                Ym = Y * mask
+                Ym2 = (1.0 - Y) * mask
+                Yc = Ym2 if mask_mode == "corrected" else None
         else:
-            mj = jnp.asarray(mask).astype(Yj.dtype)
-            Ym = Yj * mj
-            Ym2 = (1.0 - Yj) * mj
-            Yc = Ym2 if mask_mode == "corrected" else None
+            Yj = jnp.asarray(Y)
+            if data_dtype is not None:
+                Yj = Yj.astype(data_dtype)
+            if mask is None:
+                Ym, Ym2, Yc = Yj, None, None
+            else:
+                mj = jnp.asarray(mask).astype(Yj.dtype)
+                Ym = Yj * mj
+                Ym2 = (1.0 - Yj) * mj
+                Yc = Ym2 if mask_mode == "corrected" else None
     else:
         Ym, Ym2, Yc = precompute_masked_terms(
             jnp.asarray(Y), None if mask is None else jnp.asarray(mask), mask_mode
@@ -730,17 +751,12 @@ def solve(
         # absent complements stay None and are synthesized in-kernel).
         Mp = ps.round_up(m, ps._pick_block(m, bm))
         Np = ps.round_up(n, ps._pick_block(n, bn))
-        pad_mn = lambda A: None if A is None else jnp.pad(A, ((0, Mp - m), (0, Np - n)))
         pad_last = lambda A, t: jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])])
-        Ymp, Ym2p = pad_mn(Ym), pad_mn(Ym2)
-        # Corrected mode's Yc IS Ym2 (same array) — alias the padded buffer
-        # instead of materializing a second identical (Mp, Np) array.
-        Ycp = Ym2p if Yc is not None else None
         W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
 
         # ---- bitpacking (binary operands only; see solve() docstring) ----
         can_pack, pack_bm = ps.select_stripe(
-            k, Mp, Np, 1 + (Ym2p is not None), packed=True
+            k, Mp, Np, 1 + (Ym2 is not None), packed=True
         )
         use_packed = (
             packed is not False
@@ -757,13 +773,30 @@ def solve(
                 "packed=True requires exactly binary data (and mask) and "
                 "stripe-eligible shapes"
             )
-        if use_packed:
-            pk = jax.jit(ps.pack_bits, static_argnums=1)
-            Ymp = pk(Ymp, pack_bm)
-            if Ym2p is not None:
-                Ym2p = pk(Ym2p, pack_bm)
-            # corrected mode's Yc equals Ym2 — reuse the packed words
-            Ycp = Ym2p if Ycp is not None else None
+        if use_packed and isinstance(Ym, np.ndarray):
+            # Host inputs + packing: pad and pack on the HOST so the data
+            # crosses the host-device link as int32 bit-plane words — 1/32
+            # the transfer bytes of the dense operands.
+            pad_np = lambda A: np.pad(A, ((0, Mp - m), (0, Np - n)))
+            pk = lambda A: jnp.asarray(ps.pack_bits_host(pad_np(A), pack_bm))
+            Ymp = pk(Ym)
+            Ym2p = pk(Ym2) if Ym2 is not None else None
+            Ycp = Ym2p if Yc is not None else None
+        else:
+            pad_mn = lambda A: None if A is None else jnp.pad(
+                A, ((0, Mp - m), (0, Np - n))
+            )
+            Ymp, Ym2p = pad_mn(Ym), pad_mn(Ym2)
+            # Corrected mode's Yc IS Ym2 (same array) — alias the padded
+            # buffer instead of materializing a second identical copy.
+            Ycp = Ym2p if Yc is not None else None
+            if use_packed:
+                pk = jax.jit(ps.pack_bits, static_argnums=1)
+                Ymp = pk(Ymp, pack_bm)
+                if Ym2p is not None:
+                    Ym2p = pk(Ym2p, pack_bm)
+                # corrected mode's Yc equals Ym2 — reuse the packed words
+                Ycp = Ym2p if Ycp is not None else None
 
         core = partial(
             _solve_core_pallas,

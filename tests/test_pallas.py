@@ -177,16 +177,43 @@ def test_bf16_mode_disables_auto_packing(monkeypatch):
 
 
 def test_f32_auto_packing_engages(monkeypatch):
-    """The auto rule (packed=None) does pack eligible binary f32 data."""
+    """The auto rule (packed=None) does pack eligible binary f32 data —
+    host inputs through the host packer, device inputs through the device
+    packer."""
+    import jax.numpy as jnp
+
     from nbmf_mm_tpu.ops import pallas_sweep as ps
 
     calls = []
-    orig = ps.pack_bits
+    for name in ("pack_bits", "pack_bits_host"):
+        orig = getattr(ps, name)
 
-    def _spy(A, bm):
-        calls.append(bm)
-        return orig(A, bm)
+        def _spy(A, bm, _orig=orig, _name=name):
+            calls.append(_name)
+            return _orig(A, bm)
 
-    monkeypatch.setattr(ps, "pack_bits", _spy)
+        monkeypatch.setattr(ps, name, _spy)
     solve(_toy(), 4, max_iter=5, random_state=0, **F32, **PALLAS)
-    assert calls, "auto-packing did not engage on binary f32 data"
+    assert "pack_bits_host" in calls, "host input did not host-pack"
+    calls.clear()
+    solve(jnp.asarray(_toy(), dtype=jnp.float32), 4, max_iter=5,
+          random_state=0, **F32, **PALLAS)
+    assert "pack_bits" in calls, "device input did not device-pack"
+
+
+def test_host_and_device_inputs_bitwise_equal():
+    """Host inputs are packed on the host and shipped as words; device
+    inputs pack on-device — both must produce identical solves."""
+    import jax.numpy as jnp
+
+    X = _toy()
+    mask = _mask(X.shape)
+    for kw in ({}, dict(mask=mask)):
+        a = solve(X, 4, max_iter=12, random_state=0, **F32, **PALLAS, **kw)
+        dkw = {k: jnp.asarray(np.asarray(v, dtype=np.float32))
+               for k, v in kw.items()}
+        b = solve(jnp.asarray(np.asarray(X, dtype=np.float32)), 4,
+                  max_iter=12, random_state=0, **F32, **PALLAS, **dkw)
+        np.testing.assert_array_equal(a.W, b.W)
+        np.testing.assert_array_equal(a.H, b.H)
+        np.testing.assert_array_equal(a.losses, b.losses)
