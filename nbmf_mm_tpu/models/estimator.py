@@ -217,7 +217,9 @@ class NBMFMM(*_BASES):
             dtype=self.dtype,
             precision=self.precision,
             mesh=self.mesh,
-            mesh_axes=tuple(self.mesh_axes),
+            # getattr: estimators pickled before mesh_axes existed have no
+            # such attribute (unpickling skips __init__).
+            mesh_axes=tuple(getattr(self, "mesh_axes", ("rows", "cols"))),
             backend=self.backend,
             packed=self.packed,
         )
@@ -284,7 +286,8 @@ class NBMFMM(*_BASES):
             # fold-in contraction automatically.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            rows_ax, cols_ax = self.mesh_axes
+            # getattr: see fit() — pre-mesh_axes pickles lack the attribute.
+            rows_ax, cols_ax = getattr(self, "mesh_axes", ("rows", "cols"))
             xsh = NamedSharding(self.mesh, P(rows_ax, cols_ax))
             Ym = jax.device_put(Ym, xsh)
             Ym2 = jax.device_put(Ym2, xsh)

@@ -309,6 +309,12 @@ class FoldInServer:
 
         use_stripe, use_packed = False, False
         can_pack, pack_bm = ps.select_stripe(self.k, Bp, Np, 2, packed=True)
+        if self.packed is True and not can_pack:
+            # An explicit demand must not silently ship dense bytes.
+            raise ValueError(
+                f"packed=True: chunk geometry (k={self.k}, Bp={Bp}, "
+                f"Np={Np}) is not pack-eligible"
+            )
         if (
             self.packed is not False
             and can_pack
@@ -361,7 +367,19 @@ class FoldInServer:
         return np.concatenate(Ws, axis=0), np.concatenate(Ss, axis=0)
 
     def warmup(self):
-        """Precompile every bucket (one dummy request each)."""
+        """Precompile every bucket — every kernel VARIANT a request can
+        dispatch to, not just one: with ``packed=None`` a binary request
+        hits the packed variant and a continuous-mask request the dense
+        one, and a cold compile mid-serving is exactly what this class
+        exists to prevent."""
         for b in self.buckets:
-            self._serve_chunk(np.zeros((b, self.n_features)), None)
+            zeros = np.zeros((b, self.n_features))
+            self._serve_chunk(zeros, None)
+            if self._use_pallas:
+                if self.packed is None:
+                    # A non-binary mask forces the dense fallback variant.
+                    self._serve_chunk(zeros, np.full_like(zeros, 0.5))
+            else:
+                # The XLA path compiles masked/unmasked separately.
+                self._serve_chunk(zeros, np.ones_like(zeros))
         return self

@@ -134,8 +134,17 @@ def grid_solve(
         can_pack, pack_bm = ps.select_stripe(
             k, Mp, Np, 1 + (Ym2p is not None), packed=True
         )
+        # Same bf16 exclusion as solve(): an explicit bf16 request is a
+        # data-storage decision packing would silently override.
+        is_bf16 = jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+        if packed is True and is_bf16:
+            raise ValueError(
+                "packed=True is incompatible with dtype='bfloat16': packing "
+                "replaces the data stream (and is both smaller and exact)"
+            )
         use_packed = (
             packed is not False
+            and not is_bf16
             and can_pack
             and _exactly_binary(Ym)
             and (mask is None or _exactly_binary(Ym2))

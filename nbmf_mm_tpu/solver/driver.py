@@ -705,12 +705,17 @@ def solve(
         from ..ops import pallas_sweep as ps
         from .sharded import solve_core_sharded
 
-        binary_ok = _exactly_binary(Ym) and _exactly_binary(Ym2)
+        # Gate the (full-data) binaryness scans on wanting to pack at all —
+        # packed=False / bf16 solves must not pay two discarded reductions.
+        want_pack = packed is not False and data_dtype is None
+        binary_ok = (
+            want_pack and _exactly_binary(Ym) and _exactly_binary(Ym2)
+        )
         if packed is True and not binary_ok:
             raise ValueError(
                 "packed=True requires exactly binary data (and mask)"
             )
-        pk_sharded = packed is not False and data_dtype is None and binary_ok
+        pk_sharded = binary_ok
         Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b = solve_core_sharded(
             Ym, Ym2, Yc, W0, H0,
             jnp.array(alpha, dtype=dtype),

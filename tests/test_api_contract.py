@@ -146,3 +146,14 @@ def test_estimator_backend_param():
     np.testing.assert_allclose(m_jnp.W_, m_auto.W_)  # auto == jnp on CPU
     with pytest.raises(ValueError, match="backend"):
         solve(X, 2, max_iter=3, backend="cuda")
+
+
+def test_estimator_pickled_before_mesh_axes():
+    """Estimators pickled before mesh_axes existed (no attribute in
+    __dict__) must still fit/transform via the getattr fallback."""
+    X = (np.random.default_rng(0).random((30, 20)) < 0.4).astype(float)
+    m = NBMF(n_components=3, max_iter=30, random_state=0).fit(X)
+    del m.mesh_axes  # simulate a pre-mesh_axes pickle
+    m.fit(X)
+    W = m.transform(X)
+    assert W.shape == (30, 3)

@@ -103,3 +103,13 @@ def test_grid_solve_packed_contract():
     b = grid_solve(X, 3, [1.0, 2.0], [1.5], packed=True, **pallas_kw)
     np.testing.assert_array_equal(a["W"], b["W"])
     np.testing.assert_array_equal(a["losses"], b["losses"])
+
+
+def test_grid_solve_packed_bf16_contract():
+    """grid_solve mirrors solve(): bf16 is never silently overridden by
+    auto-packing, and packed=True + bf16 is rejected."""
+    X = _toy(seed=5)
+    with pytest.raises(ValueError, match="bfloat16"):
+        grid_solve(X, 3, [1.0], [1.0], packed=True, dtype="bfloat16",
+                   backend="pallas", pallas_interpret=True,
+                   block_m=128, block_n=128, max_iter=10)

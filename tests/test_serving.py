@@ -183,3 +183,26 @@ def test_packed_serving_continuous_fallback(model):
     Wd, _ = FoldInServer(model, packed=False, **kw).transform(Xnew, mask=w)
     Wa, _ = FoldInServer(model, packed=None, **kw).transform(Xnew, mask=w)
     np.testing.assert_array_equal(Wa, Wd)
+
+
+def test_packed_true_geometry_raises(model, monkeypatch):
+    """FoldInServer(packed=True) must raise, not silently ship dense bytes,
+    when the chunk geometry is not pack-eligible."""
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    monkeypatch.setattr(ps, "select_stripe", lambda *a, **k: (False, None))
+    srv = FoldInServer(model, buckets=(8,), dtype="float32", backend="pallas",
+                       pallas_interpret=True, packed=True)
+    with pytest.raises(ValueError, match="not pack-eligible"):
+        srv.transform(np.zeros((4, 40)))
+
+
+def test_warmup_covers_dense_variant(model):
+    """warmup() must precompile the dense fallback too: a continuous-mask
+    request after warmup serves through an already-working path."""
+    srv = FoldInServer(model, buckets=(8,), dtype="float32", backend="pallas",
+                       pallas_interpret=True, block_m=128, block_n=128).warmup()
+    X = (np.random.default_rng(0).random((4, 40)) < 0.3).astype(float)
+    w = np.random.default_rng(1).random((4, 40))
+    W, _ = srv.transform(X, mask=w)
+    assert np.isfinite(W).all()

@@ -97,16 +97,6 @@ def main():
             lambda W, H, Y: ps.w_terms(W, H, Y, n_real=N, **kw),
             (W, H, Y), args.iters, f"w_terms b={blk}",
         )
-        if hasattr(ps, "hloss_terms_resident"):
-            time_fn(
-                lambda W, H, Y: ps.hloss_terms_resident(W, H, Y, m_real=M, n_real=N, **kw),
-                (W, H, Y), args.iters, f"hloss_terms_resident b={blk}",
-            )
-        if hasattr(ps, "w_terms_resident"):
-            time_fn(
-                lambda W, H, Y: ps.w_terms_resident(W, H, Y, n_real=N, **kw),
-                (W, H, Y), args.iters, f"w_terms_resident b={blk}",
-            )
     for bm in (128, 256, 512):
         if hasattr(ps, "hloss_terms_stripe"):
             Mp = ps.round_up(M, 128); Np = ps.round_up(N, 128)
