@@ -328,9 +328,12 @@ class FoldInServer:
         if use_packed:
             # Pack on the HOST: the chunk crosses the host-device link as
             # int32 bit-plane words — 1/32 the transfer bytes (the dominant
-            # serving cost through a remote-device tunnel).
-            A = jnp.asarray(ps.pack_bits_host(Xp * mp, bm))
-            B = jnp.asarray(ps.pack_bits_host((1.0 - Xp) * mp, bm))
+            # serving cost through a remote-device tunnel).  Boolean planes
+            # (data and mask are exactly 0/1 here) skip materializing the
+            # f32 Ym/Ym2 products: 1/4 the host temporaries.
+            observed = mp != 0
+            A = jnp.asarray(ps.pack_bits_host((Xp != 0) & observed, bm))
+            B = jnp.asarray(ps.pack_bits_host((Xp == 0) & observed, bm))
         else:
             A, B = jnp.asarray(Xp), jnp.asarray(mp)
         W, scores = _fold_in_batch_pallas(
