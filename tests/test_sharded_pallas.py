@@ -108,3 +108,20 @@ def test_sharded_packed_true_rejects_continuous(mesh):
     X[0, 0] = 0.5
     with pytest.raises(ValueError, match="packed=True requires exactly binary"):
         _sharded(mesh, X, packed=True)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8), (2, 2)])
+def test_sharded_mesh_shapes(shape):
+    """Every 2-D factorization of the device count must give the same
+    answer as the single-device XLA path (collectives are shape-agnostic)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    n_dev = shape[0] * shape[1]
+    mesh = make_mesh(jax.devices()[:n_dev], shape=shape)
+    X = _toy(seed=11)
+    mask = (np.random.default_rng(12).random(X.shape) < 0.8).astype(float)
+    a = _sharded(mesh, X, mask=mask)
+    b = _plain(X, mask=mask)
+    assert a.n_iter == b.n_iter
+    np.testing.assert_allclose(a.W, b.W, atol=2e-5)
+    np.testing.assert_allclose(a.losses, b.losses, atol=2e-5)
