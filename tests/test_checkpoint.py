@@ -83,3 +83,26 @@ def test_fit_checkpointed_early_convergence(tmp_path):
     fitted = fit_checkpointed(model, X, tmp_path / "c.npz", every=50)
     assert fitted.n_iter_ < 500
     assert len(fitted.loss_curve_) == fitted.n_iter_
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The Orbax (async-capable, multi-host friendly) variant round-trips
+    the same state dict as the npz path."""
+    from nbmf_mm_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = {
+        "W": np.random.default_rng(0).random((12, 3)),
+        "H": np.random.default_rng(1).random((3, 9)),
+        "losses": np.linspace(1.0, 0.5, 7),
+        "n_iter": np.asarray(7),
+    }
+    path = save_checkpoint_orbax(str(tmp_path / "orbax"), state, step=7)
+    if path is None:
+        pytest.skip("orbax not available")
+    restored = load_checkpoint_orbax(path)
+    assert set(restored) == set(state)
+    for k in state:
+        np.testing.assert_allclose(np.asarray(restored[k]), state[k])

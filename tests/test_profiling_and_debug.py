@@ -39,3 +39,23 @@ def test_nan_checks_catches_nan():
             np.asarray(bad(jnp.ones(4)))
     # config restored
     assert not jax.config.jax_debug_nans
+
+
+def test_enable_nan_checks_global_toggle():
+    import jax
+
+    from nbmf_mm_tpu.utils.debugging import enable_nan_checks
+
+    try:
+        enable_nan_checks(True)
+        assert jax.config.jax_debug_nans
+    finally:
+        enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans
+
+
+def test_device_memory_stats_shape():
+    from nbmf_mm_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # may be empty on CPU backends
