@@ -217,11 +217,11 @@ class NBMFMM(*_BASES):
             dtype=self.dtype,
             precision=self.precision,
             mesh=self.mesh,
-            # getattr: estimators pickled before mesh_axes existed have no
-            # such attribute (unpickling skips __init__).
+            # getattr: estimators pickled before these attributes existed
+            # have none of them in __dict__ (unpickling skips __init__).
             mesh_axes=tuple(getattr(self, "mesh_axes", ("rows", "cols"))),
-            backend=self.backend,
-            packed=self.packed,
+            backend=getattr(self, "backend", "auto"),
+            packed=getattr(self, "packed", None),
         )
 
         self.W_ = result.W

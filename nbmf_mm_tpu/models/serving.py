@@ -217,6 +217,13 @@ class FoldInServer:
         self.mesh_axes = mesh_axes
         self.packed = packed
         self._use_pallas = mesh is None and _resolve_backend(backend, self.dtype)
+        if packed is True and not self._use_pallas:
+            # Same contract as solve(): an explicit packed demand must not
+            # silently ship dense bytes from a routing that can't pack.
+            raise ValueError(
+                "packed=True requires the Pallas serving path (no mesh, and "
+                "backend resolving to Pallas with dtype <= float32)"
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -360,6 +367,8 @@ class FoldInServer:
         X = densify(X)
         if mask is not None:
             mask = densify(mask)
+        if X.shape[0] == 0:  # empty batch: well-defined empty result
+            return (np.zeros((0, self.k)), np.zeros((0,)))
         top = self.buckets[-1]
         Ws, Ss = [], []
         for start in range(0, X.shape[0], top):

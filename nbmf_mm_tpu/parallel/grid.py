@@ -69,8 +69,24 @@ def grid_solve(
     ``W (G, m, k)``, ``H (G, k, n)``, ``losses (G, max_iter)``,
     ``n_iter (G,)``, ``final_loss (G,)``, plus ``alpha (G,)`` / ``beta (G,)``.
     """
+    if projection not in ("normalize", "duchi"):
+        # Validated up front for every backend (same reason as solve(): the
+        # Pallas route only string-compares inside the compiled loop, so a
+        # typo would silently select the other projection).
+        raise ValueError(
+            f"projection must be 'normalize' or 'duchi', got {projection!r}"
+        )
     dtype = _resolve_dtype(dtype)
     precision = _resolve_precision(precision)
+
+    # bf16 translation, exactly as solve(): bf16 is a DATA-storage mode —
+    # factors, losses, and the tol comparison stay f32 (bf16 losses quantize
+    # to ~0.4% resolution and falsely converge after ~2 sweeps).
+    data_dtype = None
+    if dtype == jnp.dtype(jnp.bfloat16):
+        data_dtype = jnp.bfloat16
+        dtype = jnp.dtype(jnp.float32)
+        precision = jax.lax.Precision.DEFAULT
 
     Y = np.asarray(Y.toarray() if hasattr(Y, "toarray") else Y, dtype=dtype)
     if mask is not None:
@@ -121,6 +137,12 @@ def grid_solve(
 
         bm = block_m or ps.DEFAULT_BLOCK
         bn = block_n or ps.DEFAULT_BLOCK
+        if data_dtype is not None:
+            # bf16 data storage: cast the (m, n) operands only; the factors
+            # (W0/H0) stay f32 (pad_operands preserves dtypes).
+            Ym = Ym.astype(data_dtype)
+            Ym2 = Ym2.astype(data_dtype)
+            Yc = Yc.astype(data_dtype)
         Ymp, Ym2p, Ycp, W0p, H0p, _ = ps.pad_operands(
             Ym, Ym2, Yc, W0, H0,
             masked=mask is not None, mask_mode=mask_mode,
@@ -136,15 +158,14 @@ def grid_solve(
         )
         # Same bf16 exclusion as solve(): an explicit bf16 request is a
         # data-storage decision packing would silently override.
-        is_bf16 = jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
-        if packed is True and is_bf16:
+        if packed is True and data_dtype is not None:
             raise ValueError(
                 "packed=True is incompatible with dtype='bfloat16': packing "
                 "replaces the data stream (and is both smaller and exact)"
             )
         use_packed = (
             packed is not False
-            and not is_bf16
+            and data_dtype is None
             and can_pack
             and _exactly_binary(Ym)
             and (mask is None or _exactly_binary(Ym2))

@@ -562,6 +562,14 @@ def solve(
         Y = Y.T
         if mask is not None:
             mask = mask.T
+        if (W_init is None) != (H_init is None):
+            # The factor swap onto the transposed problem is only defined
+            # for the pair; the reference silently mis-assigns a lone
+            # factor (square data) or fails with a confusing shape error.
+            raise ValueError(
+                "orientation='dir-beta' with a custom init requires BOTH "
+                "W_init and H_init"
+            )
         if W_init is not None and H_init is not None:
             W_init, H_init = np.asarray(H_init).T, np.asarray(W_init).T
 

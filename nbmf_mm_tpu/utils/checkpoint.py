@@ -186,6 +186,10 @@ def fit_checkpointed(model, X, path, mask=None, every: int = 100):
         if seg_model.n_iter_ < seg_model.max_iter:
             break
         W_init, H_init = seg_model.W_, seg_model.components_
+        # Restart selection happens in segment 1; later segments continue
+        # the chosen restart from its factors (solve() rejects n_init > 1
+        # combined with explicit warm-start inits).
+        seg_model.n_init = 1
     seg_model.loss_curve_ = losses
     seg_model.objective_history_ = losses
     seg_model.n_iter_ = done

@@ -157,3 +157,12 @@ def test_estimator_pickled_before_mesh_axes():
     m.fit(X)
     W = m.transform(X)
     assert W.shape == (30, 3)
+
+
+def test_dir_beta_single_sided_init_rejected():
+    """A lone W_init/H_init under dir-beta is rejected with a clear error
+    (the reference silently mis-assigns it on square data)."""
+    X = (np.random.default_rng(1).random((20, 20)) < 0.4).astype(float)
+    H = np.random.default_rng(2).uniform(0.1, 0.9, (3, 20))
+    with pytest.raises(ValueError, match="BOTH"):
+        NBMF(n_components=3, orientation="dir-beta", H_init=H).fit(X)

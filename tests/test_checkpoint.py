@@ -106,3 +106,18 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert set(restored) == set(state)
     for k in state:
         np.testing.assert_allclose(np.asarray(restored[k]), state[k])
+
+
+def test_fit_checkpointed_with_restarts(tmp_path):
+    """n_init > 1 selects the best restart in segment 1; later segments
+    warm-start that restart instead of crashing on the n_init/W_init
+    conflict."""
+    from nbmf_mm_tpu.utils.checkpoint import fit_checkpointed
+
+    X = _toy(seed=11)
+    model = NBMF(n_components=3, max_iter=60, tol=1e-12, random_state=0,
+                 n_init=3)
+    fitted = fit_checkpointed(model, X, tmp_path / "r.npz", every=20)
+    assert fitted.n_iter_ == 60
+    hist = np.asarray(fitted.loss_curve_)
+    assert np.all(np.diff(hist) <= 1e-10)

@@ -113,3 +113,27 @@ def test_grid_solve_packed_bf16_contract():
         grid_solve(X, 3, [1.0], [1.0], packed=True, dtype="bfloat16",
                    backend="pallas", pallas_interpret=True,
                    block_m=128, block_n=128, max_iter=10)
+
+
+def test_grid_solve_bf16_is_data_storage_only():
+    """bf16 in grid_solve follows solve()'s translation: data storage only —
+    losses/factors stay f32, so the tol test doesn't falsely converge on
+    bf16-quantized losses."""
+    X = _toy(seed=6)
+    res = grid_solve(X, 3, [1.0, 2.0], [1.5], dtype="bfloat16",
+                     backend="pallas", pallas_interpret=True,
+                     block_m=128, block_n=128, max_iter=40, tol=1e-7)
+    assert res["losses"].dtype == np.float32
+    ref = grid_solve(X, 3, [1.0, 2.0], [1.5], dtype="float32",
+                     backend="pallas", pallas_interpret=True,
+                     block_m=128, block_n=128, max_iter=40, tol=1e-7)
+    # binary data is exactly representable in bf16, so only matmul-precision
+    # differences remain; trajectories must agree closely, and the bf16 run
+    # must not stop absurdly early
+    np.testing.assert_allclose(res["losses"], ref["losses"], atol=5e-3)
+    assert np.all(res["n_iter"] >= 10)
+
+
+def test_grid_solve_rejects_bad_projection():
+    with pytest.raises(ValueError, match="projection"):
+        grid_solve(_toy(), 3, [1.0], [1.0], projection="normalise")

@@ -206,3 +206,14 @@ def test_warmup_covers_dense_variant(model):
     w = np.random.default_rng(1).random((4, 40))
     W, _ = srv.transform(X, mask=w)
     assert np.isfinite(W).all()
+
+
+def test_empty_batch(model):
+    srv = FoldInServer(model, buckets=(8,))
+    W, s = srv.transform(np.zeros((0, 40)))
+    assert W.shape == (0, 4) and s.shape == (0,)
+
+
+def test_packed_true_requires_pallas_route(model):
+    with pytest.raises(ValueError, match="packed=True requires the Pallas"):
+        FoldInServer(model, packed=True, backend="jnp")
