@@ -22,6 +22,21 @@ def force_platform(platform: str | None = None) -> str:
     import jax
 
     platform = platform or os.environ.get("NBMF_PLATFORM", "cpu")
+    if platform == "tpu":
+        # Real chips may register under a plugin name (e.g. 'axon' for a
+        # tunneled v5e) — try the canonical name first, then the plugin.
+        last_err = None
+        for cand in ("tpu", "axon"):
+            os.environ["JAX_PLATFORMS"] = cand
+            jax.config.update("jax_platforms", cand)
+            try:
+                jax.devices()
+                return cand
+            except RuntimeError as e:  # backend unavailable; try the next
+                last_err = e
+        raise RuntimeError(
+            "no TPU-like backend (tpu or axon) is available"
+        ) from last_err
     if platform != "default":
         os.environ["JAX_PLATFORMS"] = platform
         jax.config.update("jax_platforms", platform)

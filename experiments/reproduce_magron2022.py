@@ -81,9 +81,9 @@ FIG3_PARAMS = {
 
 def _obs_nll(Y, P, mask, eps=1e-8):
     """Per-observed-entry Bernoulli NLL — the artifact protocol's metric
-    (log-perplexity units; ``exp()`` of this is ``compute_perplexity``)."""
-    ll = Y * np.log(P + eps) + (1 - Y) * np.log(1 - P + eps)
-    return float(-np.sum(mask * ll) / np.count_nonzero(mask))
+    (log-perplexity units): the log of ``compute_perplexity``, delegated so
+    there is exactly one masked-likelihood expression to keep correct."""
+    return float(np.log(compute_perplexity(Y, P, mask, eps=eps)))
 
 
 def _write_csv(path: Path, rows):

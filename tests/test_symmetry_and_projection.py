@@ -108,11 +108,12 @@ def test_dir_beta_custom_init_swap_parity():
 
 
 def test_dir_beta_single_init_clear_error():
-    """Only one init in dir-beta: the reference doesn't swap and fails with a
-    confusing broadcast error; we raise a clear shape message."""
+    """Only one init in dir-beta: the reference silently mis-assigns it
+    (square data) or fails with a confusing broadcast error; we reject the
+    lone factor up front with a clear message."""
     from nbmf_mm_tpu import nbmf_mm_solver
 
     X = (np.random.default_rng(1).random((20, 30)) < 0.3).astype(float)
     W0 = np.full((20, 4), 0.5)
-    with pytest.raises(ValueError, match="W_init must have shape"):
+    with pytest.raises(ValueError, match="requires BOTH"):
         nbmf_mm_solver(X, 4, max_iter=5, orientation="dir-beta", W_init=W0)
