@@ -11,6 +11,12 @@ words — and the loss needs ONE log instead of two.
 
 Also times pure-MXU kernels (the matmuls alone) to calibrate today's f32 and
 bf16 matmul rates on this chip.
+
+.. note:: Timing here is loop-carried (hoist-immune) but SINGLE-COUNT
+   (total/iters): through the axon tunnel the 10-45 ms variable dispatch
+   cost biases short runs by up to tens of percent.  Numbers from this
+   tool guided kernel-structure choices only; decision-grade measurements
+   use slope timing (tools/bench_true.py, bench.py).
 """
 import argparse
 import sys

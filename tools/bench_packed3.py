@@ -7,6 +7,12 @@ Probes:
   2. Independent vs chained matmuls — isolates dependency stalls.
   3. n-grid (column-stripe) H pass: wh/ratios on (Mp, bn), num/den tiles
      written ONCE per step.  Dense and packed variants.
+
+.. note:: Timing here is loop-carried (hoist-immune) but SINGLE-COUNT
+   (total/iters): through the axon tunnel the 10-45 ms variable dispatch
+   cost biases short runs by up to tens of percent.  Numbers from this
+   tool guided kernel-structure choices only; decision-grade measurements
+   use slope timing (tools/bench_true.py, bench.py).
 """
 import argparse
 import sys

@@ -3,6 +3,12 @@
 data stream + sum, unpack formulations, ratio math, loss forms.  Each kernel
 runs the m-stripe grid shape of the real passes with NO matmuls, so the
 numbers are the isolated VPU+stream cost of that fragment.
+
+.. note:: Timing here is loop-carried (hoist-immune) but SINGLE-COUNT
+   (total/iters): through the axon tunnel the 10-45 ms variable dispatch
+   cost biases short runs by up to tens of percent.  Numbers from this
+   tool guided kernel-structure choices only; decision-grade measurements
+   use slope timing (tools/bench_true.py, bench.py).
 """
 import sys
 import time
