@@ -108,7 +108,7 @@ def _fold_in_batch_pallas(
     # Per-row mean observed log-likelihood (one (Bp, Np) pass, outside the
     # iteration loop; XLA fuses the elementwise chain into the matmul).
     R = jnp.matmul(W, Hp, precision=jax.lax.Precision.DEFAULT)
-    ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(1.0 - R + 1e-8)
+    ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(jnp.maximum(1.0 - R, 0.0) + 1e-8)
     n_obs = jnp.maximum((Ym + Ym2).sum(axis=1), 1.0)
     return W, ll.sum(axis=1) / n_obs
 
@@ -143,7 +143,7 @@ def _fold_in_batch(H, Xp, mask_or_rows, W0t, eps, *, n_iter: int, precision, mas
     W = W / W.sum(axis=1, keepdims=True)
     # Per-row mean observed log-likelihood of the reconstruction.
     R = jnp.matmul(W, H, precision=precision)
-    ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(1.0 - R + 1e-8)
+    ll = Ym * jnp.log(R + 1e-8) + Ym2 * jnp.log(jnp.maximum(1.0 - R, 0.0) + 1e-8)
     n_obs = jnp.maximum((Ym + Ym2).sum(axis=1), 1.0)
     return W, ll.sum(axis=1) / n_obs
 

@@ -151,7 +151,7 @@ def h_terms(
         # Shared-reciprocal ratios: one VPU divide instead of two.
         # p = ym/(wh+eps), q = yc/(1-wh+eps) via r = 1/((wh+eps)(1-wh+eps)).
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = ym * (b * r)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
@@ -263,7 +263,7 @@ def hloss_terms(
         )  # (bm, bn)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = ym * (b * r)
         q = yc * (a * r)
@@ -365,7 +365,7 @@ def w_terms(
             w_ref[...].astype(mxu), h, (((0,), (0,)), ((), ())), preferred_element_type=acc
         )  # (bm, bn)
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = ym * (b * r)
         if explicit_ym2:
@@ -454,7 +454,7 @@ def loglik_sum(
             preferred_element_type=acc,
         )
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
-        ll = ym * jnp.log(wh + eps) + yc * jnp.log(1.0 - wh + eps)
+        ll = ym * jnp.log(wh + eps) + yc * jnp.log(jnp.maximum(1.0 - wh, 0.0) + eps)
         row = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
         valid = jnp.logical_and(row < m_real, col < n_real)
@@ -560,7 +560,7 @@ def hloss_terms_stripe(
         )  # (bm, Np)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = ym * (b * r)
         q = yc * (a * r)
@@ -655,7 +655,7 @@ def w_terms_stripe(
             w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
         )  # (bm, Np)
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = ym * (b * r)
         if explicit_ym2:
@@ -852,7 +852,7 @@ def hloss_terms_packed(
             w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
         )  # (bm, Np)
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = jnp.where(bit, b * r, 0.0)
         if corrected:
@@ -947,7 +947,7 @@ def w_terms_packed(
             w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
         )
         a = wh + eps
-        b = 1.0 - wh + eps
+        b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
         r = 1.0 / (a * b)
         p = jnp.where(bit, b * r, 0.0)
         if explicit2:

@@ -48,6 +48,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .projection import project_columns_simplex_duchi
 
@@ -81,15 +82,32 @@ def precompute_masked_terms(
     return Ym, Ym2, Yc
 
 
+def clip_upper_interior(eps, dtype):
+    """Upper clip bound for the Beta factor, strictly below 1 in ``dtype``.
+
+    The reference clips to ``1 - eps`` with ``eps = 1e-8`` — below the f32
+    ulp at 1.0 (6e-8), so in f32 that bound rounds to exactly 1.0 and H can
+    reach the boundary.  Downstream, XLA may reassociate ``1 - H + eps``
+    into ``(1 + eps) - H`` (== ``1 - H`` in f32), turning the prior/loss
+    logs into ``log(0) = -inf`` — observed under jit at ``beta < 1``.
+    Bounding by the largest representable value below 1 keeps every
+    ``1 - H (+ eps)`` strictly positive under any association.  In f64
+    ``1 - 1e-8`` is exactly representable and this returns it unchanged
+    (reference parity preserved).
+    """
+    below_one = np.nextafter(np.asarray(1.0, dtype), np.asarray(0.0, dtype))
+    return jnp.minimum(jnp.asarray(1.0, dtype) - eps, below_one)
+
+
 def _h_update(W, H, Ym, Yc, alpha, beta, eps, precision):
     """Multiplicative Beta-factor update (reference ``_solver.py:39-47``)."""
     dot = partial(jnp.matmul, precision=precision)
     WH = dot(W.T, H)  # (m, n)
     # num = H (*) W @ (Ym / WH) + (alpha - 1);  den mirrors with complements.
     num = H * dot(W, Ym / (WH + eps)) + (alpha - 1.0)
-    den = (1.0 - H) * dot(W, Yc / (1.0 - WH + eps)) + (beta - 1.0)
+    den = (1.0 - H) * dot(W, Yc / (jnp.maximum(1.0 - WH, 0.0) + eps)) + (beta - 1.0)
     H_new = num / (num + den + eps)
-    return jnp.clip(H_new, eps, 1.0 - eps)
+    return jnp.clip(H_new, eps, clip_upper_interior(eps, H.dtype))
 
 
 def _w_update(W, H_new, Ym, Ym2, n_real, eps, projection, precision):
@@ -102,7 +120,9 @@ def _w_update(W, H_new, Ym, Ym2, n_real, eps, projection, precision):
     """
     dot = partial(jnp.matmul, precision=precision)
     WHn = dot(W.T, H_new)  # (m, n) == HW_T.T
-    T = dot(H_new, (Ym / (WHn + eps)).T) + dot(1.0 - H_new, (Ym2 / (1.0 - WHn + eps)).T)
+    T = dot(H_new, (Ym / (WHn + eps)).T) + dot(
+        1.0 - H_new, (Ym2 / (jnp.maximum(1.0 - WHn, 0.0) + eps)).T
+    )
     W_raw = W * T  # (k, m)
     if projection == "normalize":
         # Paper-exact simplex step: /n keeps columns on the simplex up to
@@ -164,7 +184,7 @@ def map_objective(
     """
     dot = partial(jnp.matmul, precision=precision)
     WH = dot(W.T, H)
-    log_lik = Ym * jnp.log(WH + eps) + Yc * jnp.log(1.0 - WH + eps)
+    log_lik = Ym * jnp.log(WH + eps) + Yc * jnp.log(jnp.maximum(1.0 - WH, 0.0) + eps)
     prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H + eps))
     prior_b = (beta - 1.0) * jnp.sum(jnp.log(1.0 - H + eps))
     return -(jnp.sum(log_lik) + prior_a + prior_b) / n_obs
@@ -186,7 +206,9 @@ def fold_in_w_update(
     """
     dot = partial(jnp.matmul, precision=precision)
     WHt = dot(Wt.T, H)  # (m, n)
-    T = dot(H, (Ym / (WHt + eps)).T) + dot(1.0 - H, (Ym2 / (1.0 - WHt + eps)).T)
+    T = dot(H, (Ym / (WHt + eps)).T) + dot(
+        1.0 - H, (Ym2 / (jnp.maximum(1.0 - WHt, 0.0) + eps)).T
+    )
     Wt = Wt * T / n_features
     col_sums = Wt.sum(axis=0, keepdims=True)
     return Wt / jnp.where(col_sums > 0, col_sums, 1.0)

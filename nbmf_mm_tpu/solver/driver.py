@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.updates import map_objective, mm_sweep, precompute_masked_terms
+from ..ops.updates import (
+    clip_upper_interior,
+    map_objective,
+    mm_sweep,
+    precompute_masked_terms,
+)
 
 __all__ = ["nbmf_mm_solver", "solve", "SolverResult"]
 
@@ -282,7 +287,12 @@ def _solve_core_pallas(
     def finish_sweep(W, H, Num, Den):
         num = H * Num + (alpha - 1.0)
         den = (1.0 - H) * Den + (beta - 1.0)
-        H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps)
+        # dtype-aware upper bound: see ops.updates.clip_upper_interior (f32
+        # would otherwise let H reach exactly 1.0 and the loss logs hit
+        # log(0) under XLA reassociation)
+        H_new = jnp.clip(
+            num / (num + den + eps), eps, clip_upper_interior(eps, dtype)
+        )
         H_new = ps.apply_col_validity(H_new, n_real)
         T = wterms_fn(W, H_new)
         W_raw = W * T
@@ -481,7 +491,22 @@ def solve(
       compiled loop); the restart with the lowest final objective is
       returned, with ``all_final_losses``/``best_restart`` recorded.
     - ``projection``: ``"normalize"`` (paper-exact MM simplex step) or
-      ``"duchi"`` (sort-based Euclidean projection).
+      ``"duchi"`` (sort-based Euclidean projection).  Only ``"normalize"``
+      is part of the MM majorizer: with ``"duchi"`` the monotone-descent
+      guarantee does not apply (it descends in the paper's regimes, but
+      objective increases are possible — observed with ``alpha, beta < 1``
+      priors combined with overcomplete ranks ``k > min(m, n)``).
+
+    The monotone-descent guarantee itself requires ``alpha >= 1`` and
+    ``beta >= 1``: with an exponent ``< 1`` the ``(alpha-1)``/``(beta-1)``
+    prior terms in the multiplicative update turn negative, the update can
+    leave ``[0, 1]`` (the clip then engages), and the objective can
+    INCREASE — a property of the reference algorithm itself, which this
+    library reproduces trajectory-exactly (verified: identical ~11-unit
+    loss spikes on both implementations at ``beta ~ 0.4``, ``k > m``).
+    The paper's own grids include ``alpha, beta = 0.5``; in those benign
+    low-rank regimes the updates stay interior and descent holds in
+    practice.
     - ``mask_mode``: ``"parity"`` (the reference's exact asymmetric masking)
       or ``"corrected"`` (observed-entries-only; the original paper's
       objective, fully monotone).

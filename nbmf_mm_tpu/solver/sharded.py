@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import pallas_sweep as ps
 from ..ops.projection import project_columns_simplex_duchi
+from ..ops.updates import clip_upper_interior
 
 __all__ = ["solve_core_sharded", "plan_shard_padding"]
 
@@ -183,7 +184,11 @@ def solve_core_sharded(
         def finish_sweep(W_l, H_l, Num, Den):
             num = H_l * Num + (alpha - 1.0)
             den = (1.0 - H_l) * Den + (beta - 1.0)
-            H_new = jnp.clip(num / (num + den + eps), eps, 1.0 - eps) * Vn_l
+            # dtype-aware upper bound (ops.updates.clip_upper_interior)
+            H_new = jnp.clip(
+                num / (num + den + eps), eps,
+                clip_upper_interior(eps, W_l.dtype),
+            ) * Vn_l
             T = jax.lax.psum(wterms_local(W_l, H_new), cols)
             W_raw = W_l * T
             if projection == "normalize":

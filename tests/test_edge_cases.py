@@ -83,3 +83,52 @@ def test_pallas_edge_shapes():
             backend="pallas", pallas_interpret=True, block_m=64, block_n=64,
         )
         np.testing.assert_allclose(a.W, b.W, atol=3e-5, err_msg=str(shape))
+
+
+def test_boundary_prior_f32_losses_finite():
+    """alpha, beta < 1 push H to the boundary; in f32 the reference's
+    1 - eps clip bound rounds to exactly 1.0 and XLA's reassociation of
+    ``1 - H + eps`` then produced log(0) = -inf losses under jit.  The
+    dtype-aware interior clip (ops.updates.clip_upper_interior) must keep
+    every backend finite (regression for a 200-draw stress-sweep find)."""
+    from nbmf_mm_tpu import solve
+
+    rng = np.random.default_rng(1499948972)
+    X = (rng.random((10, 127)) < 0.4).astype(float)
+    kw = dict(max_iter=16, tol=1e-6, alpha=0.44, beta=0.48, random_state=7,
+              n_init=1)
+    for extra in (
+        dict(backend="jnp", dtype="float32"),
+        dict(backend="pallas", pallas_interpret=True, dtype="float32",
+             block_m=128, block_n=128),
+        dict(backend="pallas", pallas_interpret=True, dtype="float32",
+             block_m=128, block_n=128, packed=False),
+    ):
+        r = solve(X, 7, **kw, **extra)
+        assert np.all(np.isfinite(np.asarray(r.losses)))
+        assert np.all(np.isfinite(r.W)) and np.all(np.isfinite(r.H))
+        # H stays strictly interior in its dtype
+        assert r.H.max() < 1.0
+
+
+def test_clip_upper_interior_dtypes():
+    from nbmf_mm_tpu.ops.updates import clip_upper_interior
+
+    f32 = float(clip_upper_interior(1e-8, np.float32))
+    assert f32 < 1.0  # NOT rounded up to 1.0
+    f64 = float(clip_upper_interior(1e-8, np.float64))
+    assert f64 == 1.0 - 1e-8  # reference-exact in f64
+
+
+def test_all_masked_out_row_gives_zero_simplex_row():
+    """A fully-unobserved ROW has an unidentifiable simplex weight; the
+    zero-column guard returns an all-zero W row (the reference produces
+    0/0 = NaN there).  All observed rows keep unit sums."""
+    X = (np.random.default_rng(5).random((30, 20)) < 0.4).astype(float)
+    mask = np.ones_like(X)
+    mask[11, :] = 0.0
+    r = solve(X, 3, max_iter=40, random_state=0, mask=mask)
+    assert np.all(np.isfinite(r.W))
+    sums = r.W.sum(axis=1)
+    assert sums[11] == 0.0
+    np.testing.assert_allclose(np.delete(sums, 11), 1.0, atol=1e-6)
