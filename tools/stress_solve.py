@@ -127,11 +127,17 @@ def main():
 
     force_platform(args.platform)
 
+    import jax
+
     rng = np.random.default_rng(args.seed)
     for i in range(args.draws):
         kw = one_draw(rng, args.backend)
         if (i + 1) % 20 == 0:
             print(f"{i + 1}/{args.draws} OK", flush=True)
+            # Every draw has fresh shapes, so the jit cache grows without
+            # bound (full-run host OOM observed around draw ~380); drop it
+            # periodically — correctness-only harness, compile time is fine.
+            jax.clear_caches()
     print(f"stress sweep PASSED: {args.draws} random configs, "
           f"backend={args.backend}")
 
