@@ -99,9 +99,17 @@ def round_up(x: int, m: int) -> int:
 
 
 def _pick_block(dim: int, block: int) -> int:
-    """Largest lane-aligned block not exceeding ``block`` that keeps padding
-    small for short axes."""
-    return min(block, round_up(dim, 128))
+    """Lane-legal block for ``dim``: the requested ``block`` shrunk for
+    short axes, then rounded UP to a multiple of 128.
+
+    The Mosaic TPU lowering requires the last two block dims to be
+    divisible by (8, 128) or equal the full array dims; every block size
+    here appears as a LANE dim in some spec (m in the W/T specs, n in the
+    H/Num specs), so sub-128 user blocks (legal in interpret mode, used by
+    CPU tests) would fail to lower on hardware — found by running the
+    randomized stress sweep on a real chip.
+    """
+    return round_up(min(block, round_up(dim, 128)), 128)
 
 
 # ----------------------------------------------------------------- H pass

@@ -58,7 +58,11 @@ def one_draw(rng, backend):
         mask_mode=mask_mode, n_init=n_init,
     )
     if backend == "pallas":
-        kw.update(backend="pallas", pallas_interpret=True, dtype="float32",
+        import jax
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        kw.update(backend="pallas", pallas_interpret=not on_tpu,
+                  dtype="float32",
                   block_m=int(rng.choice([64, 128])),
                   block_n=int(rng.choice([64, 128])))
         tol_mono = 1e-4
