@@ -253,11 +253,42 @@ class NBMFMM(*_BASES):
         self.fit(X)
         return self.W_
 
+    # Entry-count gate for routing transform/score fold-ins through the
+    # fused Pallas kernels under backend="auto": below this the XLA path's
+    # (m, n) ratio temporaries are cheap and not worth an extra compile.
+    _FUSED_TRANSFORM_MIN_ENTRIES = 1 << 22  # ~4.2M entries
+
+    def _use_fused_transform(self, n_entries: int, dtype) -> bool:
+        """Route ``transform`` through the fused fold-in kernels
+        (:func:`nbmf_mm_tpu.models.serving.fold_in_fused`)?  ``"pallas"``
+        always does (interpret-mode off-TPU); ``"auto"`` does on TPU for
+        large inputs; ``"jnp"``, a mesh, or f64 never."""
+        backend = getattr(self, "backend", "auto")
+        if self.mesh is not None or backend == "jnp":
+            return False
+        if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+            return False  # Mosaic has no f64
+        if backend == "pallas":
+            return True
+        from ..solver.driver import _resolve_backend
+
+        return (
+            _resolve_backend(backend, dtype)
+            and n_entries >= self._FUSED_TRANSFORM_MIN_ENTRIES
+        )
+
     # ------------------------------------------------------------ transform
     def transform(self, X, mask=None):
         """Fold in new data: find W for ``X`` with fitted ``components_`` held
         fixed, via 50 beta-dir multiplicative updates (reference
-        ``_base.py:162-199``; run seeded and jitted here)."""
+        ``_base.py:162-199``; run seeded and jitted here).
+
+        Large batches on TPU (and any batch under ``backend="pallas"``)
+        run through the fused fold-in kernels — the same seeded ``W0``
+        draw, so results match the XLA path to f32 kernel tolerance while
+        the per-iteration ``(m, n)`` ratio temporaries stay in VMEM
+        instead of round-tripping HBM (``score``/``perplexity`` inherit
+        this through their ``transform`` refit)."""
         check_is_fitted(self, ["components_"])
         X = check_array(X, accept_sparse="csr", dtype=np.float64)
         X = densify(X)
@@ -266,6 +297,29 @@ class NBMFMM(*_BASES):
 
         dtype = _resolve_dtype(self.dtype)
         precision = _resolve_precision(self.precision)
+
+        if self._use_fused_transform(X.size, dtype):
+            from .serving import fold_in_fused
+
+            m, k = X.shape[0], self.n_components
+            seed = 0 if self.random_state is None else int(self.random_state)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x7F01)
+            # The SAME seeded draw as the XLA path below — the two routes
+            # agree to f32 kernel tolerance.
+            W0t = jax.random.uniform(
+                key, (k, m), dtype=dtype, minval=0.1, maxval=0.9
+            )
+            W, _ = fold_in_fused(
+                self.components_,
+                X,
+                mask,
+                W0t,
+                n_iter=50,
+                dtype=dtype,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+                packed=getattr(self, "packed", None),
+            )
+            return W
         X = jnp.asarray(X, dtype=dtype)
         H = jnp.asarray(self.components_, dtype=dtype)
         m, k = X.shape[0], self.n_components

@@ -33,7 +33,7 @@ from ..ops.updates import fold_in_w_update
 from ..solver.driver import _resolve_backend, _resolve_dtype, _resolve_precision
 from ..utils.validation import check_is_fitted, densify
 
-__all__ = ["FoldInServer"]
+__all__ = ["FoldInServer", "fold_in_fused"]
 
 
 @partial(
@@ -148,6 +148,120 @@ def _fold_in_batch(H, Xp, mask_or_rows, W0t, eps, *, n_iter: int, precision, mas
     return W, ll.sum(axis=1) / n_obs
 
 
+def fold_in_fused(
+    H,
+    X,
+    mask=None,
+    W0t=None,
+    *,
+    n_iter: int = 50,
+    dtype=None,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    interpret: bool = False,
+    packed: Optional[bool] = None,
+    random_state: int = 0,
+    eps: float = 1e-8,
+):
+    """One-shot fused fold-in of ``X`` against a fixed ``H (k, n_features)``.
+
+    The kernel-dispatch logic of :class:`FoldInServer` (bitpacked stripes
+    for exactly-binary chunks, dense stripes when the geometry fits VMEM,
+    tiled kernels otherwise) without the bucketing/caching machinery — used
+    by ``NBMFMM.transform``'s size-gated fast path, where the caller
+    supplies the *seeding-contract* initial factor ``W0t (k, rows)``
+    (internal layout; pad columns are appended here and stay exactly zero
+    through the multiplicative updates).  When ``W0t`` is omitted it is
+    drawn U(0.1, 0.9) from ``random_state``.
+
+    Returns ``(W (rows, k), per_row_loglik (rows,))`` as numpy arrays.
+    ``packed`` follows the ``solve()`` contract: ``None`` auto-packs
+    binary data, ``True`` requires eligibility and raises otherwise,
+    ``False`` disables.
+    """
+    from ..ops import pallas_sweep as ps
+
+    dtype = _resolve_dtype(dtype)
+    X = densify(X)
+    if mask is not None:
+        mask = densify(mask)
+    rows, n_features = X.shape
+    H = jnp.asarray(np.asarray(H), dtype=dtype)
+    k = H.shape[0]
+
+    b = max(rows, 128)  # kernel lane minimum
+    bm = ps._pick_block(b, block_m or min(b, ps.DEFAULT_BLOCK))
+    bn = ps._pick_block(n_features, block_n or ps.DEFAULT_BLOCK)
+    Bp = ps.round_up(b, bm)
+    Np = ps.round_up(n_features, bn)
+    host_dtype = np.dtype(dtype)
+    Xp = np.zeros((Bp, Np), dtype=host_dtype)
+    Xp[:rows, :n_features] = np.asarray(X)
+    mp = np.zeros((Bp, Np), dtype=host_dtype)
+    if mask is None:
+        mp[:rows, :n_features] = 1.0
+    else:
+        mp[:rows, :n_features] = np.asarray(mask)
+    Hp = jnp.pad(H, ((0, 0), (0, Np - n_features)))
+
+    if W0t is None:
+        key = jax.random.fold_in(jax.random.PRNGKey(int(random_state)), Bp)
+        W0t_full = jax.random.uniform(
+            key, (k, Bp), dtype=dtype, minval=0.1, maxval=0.9
+        )
+    else:
+        W0t_full = jnp.zeros((k, Bp), dtype=dtype)
+        W0t_full = W0t_full.at[:, :rows].set(jnp.asarray(W0t, dtype=dtype))
+    # Zero pad columns: their data/mask rows are zero => multiplicative
+    # updates keep them exactly zero (guarded renorm).
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
+    W0t_full = jnp.where(col < rows, W0t_full, 0.0)
+
+    def _host_binary(A):
+        return bool(((A == 0) | (A == 1)).all())
+
+    use_stripe, use_packed = False, False
+    can_pack, pack_bm = ps.select_stripe(k, Bp, Np, 2, packed=True)
+    if packed is True and not can_pack:
+        raise ValueError(
+            f"packed=True: fold-in geometry (k={k}, Bp={Bp}, Np={Np}) "
+            "is not pack-eligible"
+        )
+    if packed is not False and can_pack:
+        binary = _host_binary(Xp) and _host_binary(mp)
+        if packed is True and not binary:
+            raise ValueError(
+                "packed=True requires exactly binary data (and mask)"
+            )
+        if binary:
+            use_packed, bm = True, pack_bm
+    if not use_packed:
+        can_stripe, stripe_bm = ps.select_stripe(k, Bp, Np, 2)
+        if can_stripe:
+            use_stripe, bm = True, stripe_bm
+    if use_packed:
+        observed = mp != 0
+        A = jnp.asarray(ps.pack_bits_host((Xp != 0) & observed, bm))
+        B = jnp.asarray(ps.pack_bits_host((Xp == 0) & observed, bm))
+    else:
+        A, B = jnp.asarray(Xp), jnp.asarray(mp)
+    W, scores = _fold_in_batch_pallas(
+        Hp,
+        A,
+        B,
+        W0t_full,
+        n_iter=n_iter,
+        n_real=n_features,
+        eps=eps,
+        block_m=bm,
+        block_n=bn,
+        interpret=interpret,
+        stripe=use_stripe,
+        packed=use_packed,
+    )
+    return np.asarray(W)[:rows], np.asarray(scores)[:rows]
+
+
 class FoldInServer:
     """Precompiled, shape-bucketed fold-in against a fitted model.
 
@@ -170,9 +284,9 @@ class FoldInServer:
         streams int32 bit-plane words through all ``n_iter`` fold-in
         iterations (1/32 the per-iteration data traffic, bit-identical
         results; the chunk's staging buffers are scanned once to verify
-        binaryness).  ``True`` asserts the data/mask are binary and skips
-        the scan (undefined results otherwise); ``False`` disables.
-        Pallas path only.
+        binaryness).  ``True`` requires every chunk to be exactly binary
+        and raises otherwise (same contract as ``solve(packed=True)``);
+        ``False`` disables.  Pallas path only.
     """
 
     def __init__(
@@ -322,13 +436,21 @@ class FoldInServer:
                 f"packed=True: chunk geometry (k={self.k}, Bp={Bp}, "
                 f"Np={Np}) is not pack-eligible"
             )
-        if (
-            self.packed is not False
-            and can_pack
-            and (self.packed is True or (_host_binary(Xp) and _host_binary(mp)))
-        ):
-            use_packed, bm = True, pack_bm
-        else:
+        if self.packed is not False and can_pack:
+            # The binaryness scan runs for packed=True as well: packing
+            # collapses every chunk entry to one bit, and silently
+            # binarizing non-binary data would produce wrong fold-in
+            # results — the same contract solve(packed=True) enforces.
+            # The host scan is ~free next to the host->device transfer.
+            binary = _host_binary(Xp) and _host_binary(mp)
+            if self.packed is True and not binary:
+                raise ValueError(
+                    "packed=True requires exactly binary data (and mask) "
+                    "in every chunk"
+                )
+            if binary:
+                use_packed, bm = True, pack_bm
+        if not use_packed:
             can_stripe, stripe_bm = ps.select_stripe(self.k, Bp, Np, 2)
             if can_stripe:
                 use_stripe, bm = True, stripe_bm

@@ -217,3 +217,69 @@ def test_empty_batch(model):
 def test_packed_true_requires_pallas_route(model):
     with pytest.raises(ValueError, match="packed=True requires the Pallas"):
         FoldInServer(model, packed=True, backend="jnp")
+
+
+def test_foldin_server_packed_true_rejects_nonbinary():
+    """ADVICE r2: packed=True must not silently binarize non-binary chunks —
+    same contract as solve(packed=True)."""
+    import pytest as _pytest
+
+    H = np.full((4, 160), 0.5)
+    srv = FoldInServer(
+        H, backend="pallas", pallas_interpret=True, packed=True,
+        dtype="float32", buckets=(128,),
+    )
+    X = np.random.default_rng(0).random((64, 160))  # continuous, non-binary
+    with _pytest.raises(ValueError, match="exactly binary"):
+        srv.transform(X)
+
+
+def test_fold_in_fused_matches_xla_transform():
+    """The estimator's fused transform dispatch (backend='pallas') matches
+    the XLA fold-in to f32 kernel tolerance — same seeded W0 draw."""
+    from nbmf_mm_tpu import NBMF
+
+    rng = np.random.default_rng(5)
+    X = (rng.random((150, 170)) < 0.35).astype(float)
+    Xnew = (rng.random((90, 170)) < 0.35).astype(float)
+    mask = (rng.random(Xnew.shape) < 0.8).astype(float)
+
+    base = NBMF(n_components=4, max_iter=40, random_state=3, dtype="float32")
+    base.fit(X)
+    W_xla = base.transform(Xnew)
+    W_xla_masked = base.transform(Xnew, mask=mask)
+
+    fused = NBMF(
+        n_components=4, max_iter=40, random_state=3, dtype="float32",
+        backend="pallas",
+    )
+    # Fit on CPU requires interpret kernels; reuse the fitted factors
+    # instead of refitting (transform only needs components_).
+    fused.components_ = base.components_
+    fused.W_ = base.W_
+    fused.orientation = base.orientation
+    W_fused = fused.transform(Xnew)
+    W_fused_masked = fused.transform(Xnew, mask=mask)
+
+    np.testing.assert_allclose(W_fused, W_xla, atol=5e-5)
+    np.testing.assert_allclose(W_fused_masked, W_xla_masked, atol=5e-5)
+    np.testing.assert_allclose(W_fused.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_fold_in_fused_function_packed_matches_dense():
+    """fold_in_fused: packed auto-dispatch is bit-identical to packed=False
+    on exactly-binary data (the solve() packing contract, applied to the
+    fold-in)."""
+    from nbmf_mm_tpu.models.serving import fold_in_fused
+
+    rng = np.random.default_rng(7)
+    H = rng.uniform(0.1, 0.9, (4, 200))
+    X = (rng.random((140, 200)) < 0.4).astype(float)
+    W_dense, s_dense = fold_in_fused(
+        H, X, dtype="float32", interpret=True, packed=False
+    )
+    W_auto, s_auto = fold_in_fused(
+        H, X, dtype="float32", interpret=True, packed=None
+    )
+    np.testing.assert_array_equal(W_dense, W_auto)
+    np.testing.assert_array_equal(s_dense, s_auto)
