@@ -38,3 +38,32 @@ def test_check_is_fitted_message():
     f = Foo()
     f.components_ = 1
     check_is_fitted(f, ["components_"])  # no raise
+
+
+def test_compilation_cache_helpers(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at the directory (creating it);
+    maybe_enable_compilation_cache is a no-op without NBMF_CACHE_DIR."""
+    import jax
+
+    from nbmf_mm_tpu.utils.cache import (
+        enable_compilation_cache,
+        maybe_enable_compilation_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("NBMF_CACHE_DIR", raising=False)
+        jax.config.update("jax_compilation_cache_dir", None)
+        assert maybe_enable_compilation_cache() is None
+        assert jax.config.jax_compilation_cache_dir is None
+
+        target = tmp_path / "xla-cache"
+        got = enable_compilation_cache(str(target))
+        assert got == str(target) and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+
+        # Env-var opt-in path respects an already-configured JAX dir.
+        monkeypatch.setenv("NBMF_CACHE_DIR", str(tmp_path / "other"))
+        assert maybe_enable_compilation_cache() == str(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
