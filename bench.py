@@ -100,23 +100,28 @@ def _time_variant(fn, args, kw):
     """
     import statistics
 
+    def sync(out):
+        # Works for the single-init (scalar final loss) and the vmapped
+        # n_init-batched cores ((b,) final losses) alike.
+        return float(np.asarray(out[4]).sum())
+
     lo, hi = SWEEPS, 3 * SWEEPS
     kw_lo = dict(kw, max_iter=lo)
     kw_hi = dict(kw, max_iter=hi)
     out = fn(*args, **kw_lo)
-    float(out[4])  # materialize => device completed (compile lo)
+    sync(out)  # materialize => device completed (compile lo)
     out = fn(*args, **kw_hi)
-    float(out[4])  # compile hi
+    sync(out)  # compile hi
 
     slopes = []
     for _ in range(5):
         t0 = time.perf_counter()
         r = fn(*args, **kw_lo)
-        float(r[4])
+        sync(r)
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = fn(*args, **kw_hi)
-        float(out[4])
+        sync(out)
         t_hi = time.perf_counter() - t0
         slopes.append((t_hi - t_lo) / (hi - lo))
     slope = statistics.median(slopes)
@@ -125,11 +130,11 @@ def _time_variant(fn, args, kw):
         for _ in range(6):
             t0 = time.perf_counter()
             r = fn(*args, **kw_lo)
-            float(r[4])
+            sync(r)
             t_lo = min(t_lo, time.perf_counter() - t0)
             t0 = time.perf_counter()
             out = fn(*args, **kw_hi)
-            float(out[4])
+            sync(out)
             t_hi = min(t_hi, time.perf_counter() - t0)
         slope = (t_hi - t_lo) / (hi - lo)
     if slope <= 0:
@@ -139,11 +144,11 @@ def _time_variant(fn, args, kw):
             "NBMF_BENCH_MN/NBMF_BENCH_SWEEPS"
         )
     losses = np.asarray(out[2], dtype=np.float64)
-    if int(out[3]) != hi:
-        raise RuntimeError(f"bench ran {int(out[3])} sweeps, expected {hi}")
+    if not np.all(np.asarray(out[3]) == hi):
+        raise RuntimeError(f"bench ran {np.asarray(out[3])} sweeps, expected {hi}")
     if not np.all(np.isfinite(losses)):
         raise RuntimeError("non-finite losses in bench run")
-    if not np.all(np.diff(losses) <= 1e-4):
+    if not np.all(np.diff(losses, axis=-1) <= 1e-4):
         raise RuntimeError("MM descent violated in bench run")
     return 1.0 / slope, losses
 
@@ -192,6 +197,43 @@ def main():
         results["pallas_f32"], losses = _time_variant(
             _solve_core_pallas, (Ypk,) + pargs, dict(pkw, packed=True)
         )
+
+        # Batched-restart throughput (BASELINE.json target: "n_init=16
+        # vmapped into one batched solve") at the headline size: the whole
+        # compiled loop vmapped over 16 restarts sharing one packed data
+        # stream.  Reported as AGGREGATE restart-sweeps/s (16 x the batched
+        # solve's sweep rate) — near the single-fit rate means restart
+        # batching is HBM-stream-bound, not scheduling-bound.
+        B16 = int(os.environ.get("NBMF_BENCH_NINIT", 16))
+        if B16 > 0:
+            from functools import partial as _partial
+
+            kb_w, kb_h = jax.random.split(jax.random.PRNGKey(123))
+            W16 = jax.random.uniform(
+                kb_w, (B16, K, M), jnp.float32, 0.1, 0.9
+            )
+            W16 = W16 / W16.sum(axis=1, keepdims=True)
+            W16 = jnp.pad(W16, ((0, 0), (0, 0), (0, Mp - M)))
+            H16 = jnp.pad(
+                jax.random.uniform(kb_h, (B16, K, N), jnp.float32, 0.1, 0.9),
+                ((0, 0), (0, 0), (0, Np - N)),
+            )
+            pkw16 = dict(pkw, packed=True)
+
+            def run16(*a, max_iter):
+                core = _partial(
+                    _solve_core_pallas, **dict(pkw16, max_iter=max_iter)
+                )
+                return jax.vmap(
+                    core,
+                    in_axes=(None, None, None, 0, 0, None, None, None, None),
+                )(*a)
+
+            args16 = (Ypk, None, None, W16, H16) + pargs[4:]
+            rate16, _ = _time_variant(run16, args16, {})
+            results["n_init16"] = rate16 * B16
+            del W16, H16
+
         if FULL:
             results["pallas_f32_dense"], _ = _time_variant(
                 _solve_core_pallas, (Ymp,) + pargs, pkw

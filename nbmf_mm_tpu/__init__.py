@@ -28,6 +28,23 @@ try:
 except ImportError:  # pragma: no cover
     __version__ = "0.0.0.dev0"
 from .models.estimator import NBMF, NBMFMM
+from .ops.packed import PackedMatrix, pack_matrix, pack_matrix_chunked
 from .solver.driver import SolverResult, nbmf_mm_solver, solve
+from .utils.cache import maybe_enable_compilation_cache as _maybe_cache
 
-__all__ = ["NBMFMM", "NBMF", "nbmf_mm_solver", "solve", "SolverResult", "__version__"]
+# Opt-in persistent compilation cache (NBMF_CACHE_DIR env var): through a
+# remote-device tunnel the first compile of a fit costs minutes; the cache
+# cuts repeat cold starts to disk-read time (docs/performance.md).
+_maybe_cache()
+
+__all__ = [
+    "NBMFMM",
+    "NBMF",
+    "nbmf_mm_solver",
+    "solve",
+    "SolverResult",
+    "PackedMatrix",
+    "pack_matrix",
+    "pack_matrix_chunked",
+    "__version__",
+]

@@ -1,0 +1,185 @@
+"""First-class bitpacked data input: build and hold a binary matrix as int32
+bit-plane words without ever materializing it dense.
+
+The bitpacked stripe kernels (:mod:`nbmf_mm_tpu.ops.pallas_sweep`) stream 32
+matrix entries per int32 word — on a single chip that cuts the data stream
+*and the data's HBM footprint* by 32x, which moves the largest-solvable
+problem from "what fits dense in HBM" to "what fits packed".  ``solve()``
+reaches the packed kernels automatically for dense binary inputs, but the
+dense staging itself (host array -> device f32 -> pad -> pack) then becomes
+the memory ceiling: a 4x10^5 x 10^4 matrix is 16 GB dense f32 and only
+0.5 GB packed.  This module removes that ceiling:
+
+- :class:`PackedMatrix` — the packed words plus the real (unpadded) shape
+  and the stripe geometry they were packed for;
+- :func:`pack_matrix` — pack a dense matrix (host or device) into one;
+- :func:`pack_matrix_chunked` — build one from row chunks produced on
+  demand (a generator/callback), so no dense copy of the full matrix ever
+  exists anywhere; chunks are packed as they arrive.
+
+``solve(PackedMatrix, ...)`` runs the packed stripe kernels directly
+(single-chip Pallas path; see the ``solve`` docstring for the contract).
+
+The reference has no counterpart (its NumPy solver materializes ~6 dense
+(m, n) temporaries per sweep, ``src/nbmf_mm/_solver.py:22-57``); this is a
+TPU-native scale capability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pallas_sweep as ps
+
+__all__ = ["PackedMatrix", "pack_matrix", "pack_matrix_chunked", "plan_packing"]
+
+
+@dataclass(frozen=True)
+class PackedMatrix:
+    """A zero-padded binary matrix stored as stripe-local bit-plane words.
+
+    ``words`` is ``(Mp // 32, Np)`` int32 (``Mp``/``Np`` the padded sizes),
+    ``shape`` the real ``(m, n)``, ``block_m`` the stripe height the words
+    were packed for (the layout is stripe-local — words only combine with
+    kernels using the same ``block_m``).  Pad rows/columns must be zero
+    (the packers here guarantee it).
+    """
+
+    words: jnp.ndarray
+    shape: Tuple[int, int]
+    block_m: int
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        return self.words.shape[0] * ps.PACKED_WORD_BITS, self.words.shape[1]
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.words.shape)) * 4
+
+    def unpack(self) -> jnp.ndarray:
+        """Dense 0/1 float32 ``(m, n)`` (for tests/small inspections)."""
+        m, n = self.shape
+        return ps.unpack_bits(self.words, self.block_m)[:m, :n]
+
+
+def plan_packing(
+    m: int, n: int, k: int, *, block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+) -> Tuple[int, int, int]:
+    """Padded sizes and stripe height for packing an ``(m, n)`` matrix to be
+    solved at rank ``k`` — exactly the geometry ``solve()`` would derive for
+    a dense binary input, so a :class:`PackedMatrix` built here hits the
+    same kernels bit-identically.  Returns ``(Mp, Np, pack_bm)``; raises if
+    the (k, Np) resident geometry cannot run the packed stripe kernels.
+    """
+    bm = block_m or ps.DEFAULT_BLOCK
+    bn = block_n or ps.DEFAULT_BLOCK
+    Mp = ps.round_up(m, ps._pick_block(m, bm))
+    Np = ps.round_up(n, ps._pick_block(n, bn))
+    can_pack, pack_bm = ps.select_stripe(k, Mp, Np, 1, packed=True)
+    if not can_pack:
+        raise ValueError(
+            f"(k={k}, Mp={Mp}, Np={Np}) is not stripe-eligible for the "
+            "packed kernels: the (k, Np)-resident outputs exceed the VMEM "
+            "budget — reduce n (or k), or shard over a mesh"
+        )
+    return Mp, Np, pack_bm
+
+
+def pack_matrix(
+    Y, k: int, *, block_m: Optional[int] = None, block_n: Optional[int] = None
+) -> PackedMatrix:
+    """Pack a dense exactly-binary ``(m, n)`` matrix (numpy or jax array).
+
+    Host arrays are packed on the host (the data then crosses the
+    host-device link at 1/32 the bytes); device arrays are packed on-device.
+    """
+    m, n = Y.shape
+    Mp, Np, pack_bm = plan_packing(m, n, k, block_m=block_m, block_n=block_n)
+    if isinstance(Y, np.ndarray):
+        if not bool(((Y == 0) | (Y == 1)).all()):
+            raise ValueError("pack_matrix requires exactly binary data")
+        Yp = np.zeros((Mp, Np), dtype=np.uint8)
+        Yp[:m, :n] = Y
+        words = jnp.asarray(ps.pack_bits_host(Yp, pack_bm))
+    else:
+        if not bool(jnp.all((Y == 0) | (Y == 1))):
+            raise ValueError("pack_matrix requires exactly binary data")
+        Yp = jnp.pad(Y.astype(jnp.float32), ((0, Mp - m), (0, Np - n)))
+        words = jax.jit(ps.pack_bits, static_argnums=1)(Yp, pack_bm)
+    return PackedMatrix(words=words, shape=(m, n), block_m=pack_bm)
+
+
+def pack_matrix_chunked(
+    row_chunk: Callable[[int, int], "np.ndarray | jnp.ndarray"],
+    m: int,
+    n: int,
+    k: int,
+    *,
+    chunk_rows: Optional[int] = None,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    validate: bool = True,
+) -> PackedMatrix:
+    """Build a :class:`PackedMatrix` from on-demand row chunks.
+
+    ``row_chunk(start, stop)`` must return the dense rows ``[start, stop)``
+    of the matrix (``stop - start`` rows by ``n`` columns; numpy or device
+    array, any 0/1 dtype).  The stripe-local packed layout makes row-chunk
+    packing exact: chunks aligned to the stripe height concatenate into
+    exactly ``pack_bits`` of the whole matrix, so only one chunk is ever
+    dense.  Peak memory is ``chunk_rows * Np`` dense plus the packed words.
+
+    ``chunk_rows`` defaults to ~2^26 entries' worth of rows, rounded to the
+    stripe height.  Set ``validate=False`` to skip the per-chunk binaryness
+    scan (e.g. chunks straight from ``jax.random.bernoulli``).
+    """
+    Mp, Np, pack_bm = plan_packing(m, n, k, block_m=block_m, block_n=block_n)
+    if chunk_rows is None:
+        chunk_rows = max(pack_bm, ((1 << 26) // max(Np, 1)) // pack_bm * pack_bm)
+    chunk_rows = ps.round_up(chunk_rows, pack_bm)
+    pack_dev = jax.jit(ps.pack_bits, static_argnums=1)
+
+    parts = []
+    for start in range(0, Mp, chunk_rows):
+        stop = min(start + chunk_rows, Mp)
+        real_stop = min(stop, m)
+        rows = real_stop - start
+        if rows > 0:
+            C = row_chunk(start, real_stop)
+            if C.shape != (rows, n):
+                raise ValueError(
+                    f"row_chunk({start}, {real_stop}) returned shape "
+                    f"{C.shape}, expected {(rows, n)}"
+                )
+        else:
+            C = None  # fully inside the row padding
+        if isinstance(C, np.ndarray):
+            if validate and not bool(((C == 0) | (C == 1)).all()):
+                raise ValueError(
+                    f"rows [{start}, {real_stop}) are not exactly binary"
+                )
+            Cp = np.zeros((stop - start, Np), dtype=np.uint8)
+            Cp[:rows, :n] = C
+            parts.append(jnp.asarray(ps.pack_bits_host(Cp, pack_bm)))
+        else:
+            if C is None:
+                Cd = jnp.zeros((stop - start, Np), dtype=jnp.float32)
+            else:
+                if validate and not bool(jnp.all((C == 0) | (C == 1))):
+                    raise ValueError(
+                        f"rows [{start}, {real_stop}) are not exactly binary"
+                    )
+                Cd = jnp.pad(
+                    C.astype(jnp.float32),
+                    ((0, (stop - start) - rows), (0, Np - n)),
+                )
+            parts.append(pack_dev(Cd, pack_bm))
+    words = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return PackedMatrix(words=words, shape=(m, n), block_m=pack_bm)

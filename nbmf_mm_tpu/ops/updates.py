@@ -176,17 +176,28 @@ def map_objective(
     n_obs,
     eps: float = 1e-8,
     precision=jax.lax.Precision.HIGHEST,
+    col_validity=None,
 ) -> jnp.ndarray:
     """Negative MAP objective per observed entry (reference ``_solver.py:148-162``).
 
     ``loss = -(sum(Ym log(WH+eps) + Yc log(1-WH+eps))
               + (alpha-1) sum(log(H+eps)) + (beta-1) sum(log(1-H+eps))) / n_obs``
+
+    ``col_validity`` (``(1, n)`` 0/1) restricts the Beta-prior sums to the
+    real columns of a zero-padded ``H`` (GSPMD shard padding; the
+    log-likelihood term needs no mask — zero-padded ``Ym``/``Yc`` entries
+    contribute exactly nothing).
     """
     dot = partial(jnp.matmul, precision=precision)
     WH = dot(W.T, H)
     log_lik = Ym * jnp.log(WH + eps) + Yc * jnp.log(jnp.maximum(1.0 - WH, 0.0) + eps)
-    prior_a = (alpha - 1.0) * jnp.sum(jnp.log(H + eps))
-    prior_b = (beta - 1.0) * jnp.sum(jnp.log(1.0 - H + eps))
+    log_h = jnp.log(H + eps)
+    log_1mh = jnp.log(1.0 - H + eps)
+    if col_validity is not None:
+        log_h = log_h * col_validity
+        log_1mh = log_1mh * col_validity
+    prior_a = (alpha - 1.0) * jnp.sum(log_h)
+    prior_b = (beta - 1.0) * jnp.sum(log_1mh)
     return -(jnp.sum(log_lik) + prior_a + prior_b) / n_obs
 
 

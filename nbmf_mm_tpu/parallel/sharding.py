@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -72,28 +73,53 @@ def factor_shardings(
     return NamedSharding(mesh, w_spec), NamedSharding(mesh, h_spec)
 
 
-def _divisible_axes(mesh: Mesh, mesh_axes, shape) -> Tuple[Optional[str], Optional[str]]:
-    """Explicit ``device_put`` shardings require the global dimension to be
-    divisible by its mesh-axis size; replicate any axis that is not (GSPMD
-    still shards every intermediate it legally can)."""
-    rows, cols = mesh_axes
-    r = rows if shape[0] % mesh.shape[rows] == 0 else None
-    c = cols if shape[1] % mesh.shape[cols] == 0 else None
-    return r, c
-
-
 def shard_solver_operands(Ym, Ym2, Yc, W0, H0, *, mesh: Mesh, mesh_axes=("rows", "cols")):
-    """Place the solver operands on the mesh.  ``W0``/``H0`` have a leading
-    ``n_init`` axis (replicated); data matrices shard over both axes."""
-    rows, cols = _divisible_axes(mesh, mesh_axes, Ym.shape)
+    """Pad-and-place the solver operands on the mesh.
+
+    ``W0``/``H0`` have a leading ``n_init`` axis (replicated); data matrices
+    shard over both axes.  Explicit ``device_put`` shardings require each
+    global dimension to be divisible by its mesh-axis size, so non-divisible
+    ``m``/``n`` are zero-padded up to the next multiple — every operand is
+    then *really* sharded (a silently-replicated axis would put the full-size
+    data on every device, defeating the sharding).  Zero pads contribute
+    exactly nothing to the solver's contractions (zero data rows/cols, zero
+    ``W0`` pad columns); only the Beta-prior sums over ``H`` see the pad
+    columns, which the returned column-validity vector ``Vn`` masks out of
+    the objective (:func:`nbmf_mm_tpu.ops.updates.map_objective`).
+
+    Returns ``(Ym, Ym2, Yc, W0, H0, Vn, (Mp, Np))`` where ``Vn`` is ``None``
+    when no column padding was needed and ``(Mp, Np)`` is the padded global
+    shape (equal to ``Ym.shape`` on divisible inputs).
+    """
+    rows, cols = mesh_axes
+    m, n = Ym.shape
+    n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
+    Mp = -(-m // n_rows) * n_rows
+    Np = -(-n // n_cols) * n_cols
+
+    if (Mp, Np) != (m, n):
+        pad_mn = lambda A: jnp.pad(A, ((0, Mp - m), (0, Np - n)))
+        # Yc may alias Ym2 (unmasked / corrected case): pad once, reuse.
+        same = Yc is Ym2
+        Ym = pad_mn(Ym)
+        Ym2 = pad_mn(Ym2)
+        Yc = Ym2 if same else pad_mn(Yc)
+        pad_last = lambda A, t: jnp.pad(
+            A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])]
+        )
+        W0 = pad_last(W0, Mp)  # zero pad columns of internal (b, k, m)
+        H0 = pad_last(H0, Np)
+
     dsh = NamedSharding(mesh, P(rows, cols))
     wsh = NamedSharding(mesh, P(None, None, rows))
     hsh = NamedSharding(mesh, P(None, None, cols))
     Ym = jax.device_put(Ym, dsh)
-    # Yc may alias Ym2 (unmasked case); device_put both is harmless and keeps
-    # the aliasing irrelevant downstream.
     Ym2 = jax.device_put(Ym2, dsh)
     Yc = jax.device_put(Yc, dsh)
     W0 = jax.device_put(W0, wsh)
     H0 = jax.device_put(H0, hsh)
-    return Ym, Ym2, Yc, W0, H0
+    Vn = None
+    if Np != n:
+        Vn = (jnp.arange(Np)[None, :] < n).astype(H0.dtype)
+        Vn = jax.device_put(Vn, NamedSharding(mesh, P(None, cols)))
+    return Ym, Ym2, Yc, W0, H0, Vn, (Mp, Np)

@@ -157,6 +157,7 @@ def _solve_core(
     eps,
     n_obs,
     n_real,
+    Vn=None,
     *,
     max_iter: int,
     projection: str,
@@ -164,7 +165,12 @@ def _solve_core(
     verbose: int,
 ):
     """XLA-path MM loop for one initialization (internal beta-dir layout:
-    ``W0`` is ``(k, m)`` with unit column sums, ``H0`` is ``(k, n)``)."""
+    ``W0`` is ``(k, m)`` with unit column sums, ``H0`` is ``(k, n)``).
+
+    ``Vn`` (``(1, n)`` 0/1 column validity) is given only when the operands
+    carry GSPMD shard padding: the pads contribute exactly nothing to every
+    contraction (zero data, zero W pad columns), so only the Beta-prior sums
+    over ``H`` need masking — see :func:`map_objective`."""
     sweep = lambda W, H: mm_sweep(
         W, H, Ym, Ym2, Yc,
         alpha=alpha, beta=beta, n_real=n_real, eps=eps,
@@ -173,6 +179,7 @@ def _solve_core(
     objective = lambda W, H: map_objective(
         W, H, Ym, Yc,
         alpha=alpha, beta=beta, n_obs=n_obs, eps=eps, precision=precision,
+        col_validity=Vn,
     )
     return _mm_loop(sweep, objective, W0, H0, tol, max_iter=max_iter, verbose=verbose)
 
@@ -525,7 +532,8 @@ def solve(
       restart's factors/trace in ``extras`` (``all_W (n_init, m, k)``,
       ``all_H (n_init, k, n)``, ``all_n_iter``, ``all_losses``) — the
       paper's 10-init evaluation protocol needs per-init models, not just
-      the best one.  Single-chip paths only.
+      the best one.  Supported on every path, including the multi-chip
+      shard_map-Pallas and GSPMD routes.
     - ``packed``: bitpack exactly-binary operands into int32 bit-plane
       words for the stripe kernels (32 entries/word: ~32x less HBM stream
       and data memory; results bit-identical).  ``None`` (default) enables
@@ -536,6 +544,13 @@ def solve(
       packing only when you don't ask for it).  ``False`` disables;
       ``True`` requires eligibility — Pallas backend, binary operands,
       stripe-fit, no bf16 mode — and raises otherwise on every routing.
+    - ``Y`` may be a :class:`~nbmf_mm_tpu.ops.packed.PackedMatrix` (built
+      with :func:`~nbmf_mm_tpu.ops.packed.pack_matrix` /
+      :func:`~nbmf_mm_tpu.ops.packed.pack_matrix_chunked`): the data then
+      only ever exists as int32 bit-plane words — 1/32 the HBM of dense
+      f32 — so the largest solvable single-chip problem is set by the
+      packed footprint, not the dense staging.  Beta-dir, unmasked,
+      single-chip, f32 (everything else raises).
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
@@ -552,6 +567,40 @@ def solve(
         )
     if n_init < 1:
         raise ValueError(f"n_init must be >= 1, got {n_init}")
+
+    # First-class bitpacked input (ops.packed.PackedMatrix): the data only
+    # ever exists as int32 bit-plane words — 1/32 the HBM of dense f32 —
+    # which raises the single-chip ceiling to "what fits packed".  The
+    # packed kernels are beta-dir/unmasked/single-chip; everything the
+    # words cannot express is rejected up front.
+    from ..ops.packed import PackedMatrix
+
+    packed_input = Y if isinstance(Y, PackedMatrix) else None
+    if packed_input is not None:
+        if orientation != "beta-dir":
+            raise ValueError(
+                "PackedMatrix input supports orientation='beta-dir' only "
+                "(pack the transposed matrix for dir-beta)"
+            )
+        if mask is not None:
+            raise ValueError(
+                "PackedMatrix input does not take a separate mask"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "PackedMatrix input is single-chip (the sharded path "
+                "bitpacks per-shard internally from dense input)"
+            )
+        if packed is False:
+            raise ValueError("packed=False contradicts a PackedMatrix input")
+        if dtype is not None and jnp.dtype(dtype) not in (
+            jnp.dtype(jnp.float32),
+        ):
+            raise ValueError(
+                "PackedMatrix input requires float32 compute (the packed "
+                f"kernels are f32; got dtype={dtype!r})"
+            )
+        dtype = jnp.float32
 
     t_start = time.time()
     dtype = _resolve_dtype(dtype)
@@ -576,7 +625,8 @@ def solve(
             return A.astype(dtype)
         return np.asarray(A, dtype=dtype)
 
-    Y = _to_backend(Y)
+    if packed_input is None:
+        Y = _to_backend(Y)
     if mask is not None:
         mask = _to_backend(mask)
 
@@ -635,7 +685,7 @@ def solve(
     W0 = W0 / W0.sum(axis=1, keepdims=True)
 
     if mask is None:
-        n_obs = jnp.array(Y.size, dtype=dtype)
+        n_obs = jnp.array(m * n, dtype=dtype)
     else:
         # Count host-side masks on the host — jnp.count_nonzero on a numpy
         # mask would ship the whole dense array to the device just to count.
@@ -654,6 +704,11 @@ def solve(
     n_real = jnp.array(n, dtype=dtype)
 
     use_pallas = _resolve_backend(backend, dtype)
+    Vn_gspmd = None  # GSPMD shard-padding column validity (jnp mesh path)
+    gspmd_padded = False
+
+    if return_all and n_init <= 1:
+        raise ValueError("return_all requires n_init > 1")
 
     # ``packed=True`` is an explicit demand, validated for EVERY routing up
     # front (auto-packing below remains silent best-effort): it needs the
@@ -671,7 +726,14 @@ def solve(
                 "replaces the data stream (and is both smaller and exact)"
             )
 
-    if use_pallas and mesh is None:
+    if packed_input is not None:
+        if not use_pallas:
+            raise ValueError(
+                "PackedMatrix input requires the Pallas backend "
+                "(backend='pallas', or 'auto' resolving to Pallas on TPU)"
+            )
+        Ym = Ym2 = Yc = None  # the data exists only as packed words
+    elif use_pallas and mesh is None:
         # Memory-frugal operand construction for the fused kernels: build
         # only the arrays the kernels actually read (the parity-mode
         # complement is synthesized in-register), and cast to the bf16 data
@@ -689,6 +751,9 @@ def solve(
             if mask is None:
                 Ym, Ym2, Yc = Y, None, None
             else:
+                # Y/mask were cast to the (<= f32) compute dtype by
+                # _to_backend above, so these host temporaries stay f32 —
+                # no f64 promotion even for int/bool inputs.
                 Ym = Y * mask
                 Ym2 = (1.0 - Y) * mask
                 Yc = Ym2 if mask_mode == "corrected" else None
@@ -707,13 +772,18 @@ def solve(
         Ym, Ym2, Yc = precompute_masked_terms(
             jnp.asarray(Y), None if mask is None else jnp.asarray(mask), mask_mode
         )
-        # Optional GSPMD placement over a device mesh (jnp path).
+        # Optional GSPMD placement over a device mesh (jnp path).  Operands
+        # are zero-padded to mesh-divisible shapes so every axis really
+        # shards (non-divisible axes used to silently replicate); the
+        # returned Vn masks the pad columns out of the Beta-prior sums and
+        # gspmd_padded gates the final result slicing.
         if mesh is not None and not use_pallas:
             from ..parallel.sharding import shard_solver_operands
 
-            Ym, Ym2, Yc, W0, H0 = shard_solver_operands(
+            Ym, Ym2, Yc, W0, H0, Vn_gspmd, (Mp_g, Np_g) = shard_solver_operands(
                 Ym, Ym2, Yc, W0, H0, mesh=mesh, mesh_axes=mesh_axes
             )
+            gspmd_padded = (Mp_g, Np_g) != (m, n)
 
     if max_iter <= 0:
         # Graceful degenerate case (the reference raises NameError here):
@@ -730,17 +800,35 @@ def solve(
     if use_pallas and mesh is not None:
         # Multi-chip fast path: per-shard fused kernels + explicit psums;
         # the n_init restart axis is vmapped inside the shard_map.
-        if return_all:
-            raise ValueError(
-                "return_all is not supported on the shard_map Pallas path; "
-                "use the GSPMD path (backend='jnp') with a mesh instead"
-            )
         from ..ops import pallas_sweep as ps
-        from .sharded import solve_core_sharded
+        from .sharded import plan_shard_padding, solve_core_sharded
 
-        # Gate the (full-data) binaryness scans on wanting to pack at all —
-        # packed=False / bf16 solves must not pay two discarded reductions.
-        want_pack = packed is not False and data_dtype is None
+        # Gate the (full-data) binaryness scans on wanting to pack at all
+        # AND on the per-shard stripe geometry being pack-eligible — a large
+        # solve whose local geometry can never pack must not pay two
+        # whole-array device reductions per call.  The geometry is derived
+        # exactly as solve_core_sharded derives it (same plan, same blocks).
+        rows_ax, cols_ax = mesh_axes
+        Mp_s, _ = plan_shard_padding(
+            m, mesh.shape[rows_ax], block_m or ps.DEFAULT_BLOCK
+        )
+        Np_s, _ = plan_shard_padding(
+            n, mesh.shape[cols_ax], block_n or ps.DEFAULT_BLOCK
+        )
+        geom_ok, _ = ps.select_stripe(
+            k,
+            Mp_s // mesh.shape[rows_ax],
+            Np_s // mesh.shape[cols_ax],
+            3,
+            packed=True,
+        )
+        if packed is True and not geom_ok:
+            raise ValueError(
+                "packed=True: the per-device local stripe geometry "
+                f"(k={k}, m_loc={Mp_s // mesh.shape[rows_ax]}, "
+                f"n_loc={Np_s // mesh.shape[cols_ax]}) is not stripe-eligible"
+            )
+        want_pack = packed is not False and data_dtype is None and geom_ok
         binary_ok = (
             want_pack and _exactly_binary(Ym) and _exactly_binary(Ym2)
         )
@@ -774,13 +862,47 @@ def solve(
         W_dev, H_dev, losses_dev, n_iter_dev, done_dev = (
             Wb[best], Hb[best], losses_b[best], n_iter_b[best], done_b[best]
         )
-        return _package_result(
+        result = _package_result(
             W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
             transposed=transposed, verbose=verbose, max_iter=max_iter,
             t_start=t_start, seed=seed,
         )
+        if return_all:
+            # solve_core_sharded returns every restart (already unpadded);
+            # the 10-init protocol runs end-to-end on the multi-chip fast
+            # path just like on the single-chip paths.
+            _attach_all_results(
+                result,
+                (Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b),
+                m=m, n=n, sliced=False, transposed=transposed,
+            )
+        return result
 
-    if use_pallas:
+    if use_pallas and packed_input is not None:
+        from ..ops import pallas_sweep as ps
+
+        # Pre-packed input: the words ARE the staged operands.  Verify the
+        # stripe geometry the kernels will select matches the layout the
+        # words were packed for (stripe-local bit planes only combine with
+        # the same block_m).
+        Mp, Np = packed_input.padded_shape
+        can_pack, pack_bm = ps.select_stripe(k, Mp, Np, 1, packed=True)
+        if not can_pack or pack_bm != packed_input.block_m:
+            raise ValueError(
+                f"PackedMatrix(block_m={packed_input.block_m}, padded "
+                f"{packed_input.padded_shape}) does not match the stripe "
+                f"geometry for k={k} "
+                f"({'ineligible' if not can_pack else f'needs block_m={pack_bm}'}); "
+                "rebuild it with ops.packed.pack_matrix(..., k=this rank)"
+            )
+        bm = block_m or ps.DEFAULT_BLOCK
+        bn = block_n or ps.DEFAULT_BLOCK
+        pad_last = lambda A, t: jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, t - A.shape[-1])])
+        W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
+        Ymp, Ym2p, Ycp = jnp.asarray(packed_input.words), None, None
+        use_packed = True
+
+    elif use_pallas:
         from ..ops import pallas_sweep as ps
 
         bm = block_m or ps.DEFAULT_BLOCK
@@ -836,6 +958,7 @@ def solve(
                 # corrected mode's Yc equals Ym2 — reuse the packed words
                 Ycp = Ym2p if Ycp is not None else None
 
+    if use_pallas:
         core = partial(
             _solve_core_pallas,
             max_iter=max_iter,
@@ -874,10 +997,8 @@ def solve(
             jnp.array(eps, dtype=dtype),
             n_obs,
             n_real,
+            Vn_gspmd,
         )
-
-    if return_all and n_init <= 1:
-        raise ValueError("return_all requires n_init > 1")
 
     all_results = None
     if n_init == 1:
@@ -896,7 +1017,7 @@ def solve(
             all_results,
         ) = vmapped_solve(core, data, inits, hypers, keep_all=return_all)
 
-    if use_pallas:
+    if use_pallas or gspmd_padded:
         W_dev = W_dev[:, :m]
         H_dev = H_dev[:, :n]
 
@@ -906,23 +1027,32 @@ def solve(
         t_start=t_start, seed=seed,
     )
     if all_results is not None:
-        aW, aH, a_losses, a_niter, _, a_done = all_results
-        aW = np.asarray(aW)  # internal (n_init, k, m), possibly padded
-        aH = np.asarray(aH)
-        if use_pallas:
-            aW, aH = aW[:, :, :m], aH[:, :, :n]
-        all_W = np.swapaxes(aW, 1, 2)  # external (n_init, m, k)
-        all_H = aH
-        if transposed:
-            all_W, all_H = np.swapaxes(all_H, 1, 2), np.swapaxes(all_W, 1, 2)
-        result.extras.update(
-            all_W=all_W,
-            all_H=all_H,
-            all_n_iter=np.asarray(a_niter),
-            all_losses=np.asarray(a_losses),
-            all_converged=np.asarray(a_done),
+        _attach_all_results(
+            result, all_results, m=m, n=n,
+            sliced=use_pallas or gspmd_padded, transposed=transposed,
         )
     return result
+
+
+def _attach_all_results(result, all_results, *, m, n, sliced, transposed):
+    """Populate ``result.extras`` with every restart's factors/trace (the
+    ``return_all`` contract shared by the single-chip and sharded paths)."""
+    aW, aH, a_losses, a_niter, _, a_done = all_results
+    aW = np.asarray(aW)  # internal (n_init, k, m), possibly padded
+    aH = np.asarray(aH)
+    if sliced:
+        aW, aH = aW[:, :, :m], aH[:, :, :n]
+    all_W = np.swapaxes(aW, 1, 2)  # external (n_init, m, k)
+    all_H = aH
+    if transposed:
+        all_W, all_H = np.swapaxes(all_H, 1, 2), np.swapaxes(all_W, 1, 2)
+    result.extras.update(
+        all_W=all_W,
+        all_H=all_H,
+        all_n_iter=np.asarray(a_niter),
+        all_losses=np.asarray(a_losses),
+        all_converged=np.asarray(a_done),
+    )
 
 
 def _package_result(

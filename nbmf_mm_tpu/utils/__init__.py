@@ -1,5 +1,6 @@
 """Utilities: validation, synthetic data, checkpointing, profiling."""
 
+from .cache import enable_compilation_cache, maybe_enable_compilation_cache
 from .checkpoint import (
     load_checkpoint,
     load_model,
@@ -30,4 +31,6 @@ __all__ = [
     "load_r_matrix",
     "enable_nan_checks",
     "nan_checks",
+    "enable_compilation_cache",
+    "maybe_enable_compilation_cache",
 ]

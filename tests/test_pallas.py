@@ -217,3 +217,81 @@ def test_host_and_device_inputs_bitwise_equal():
         np.testing.assert_array_equal(a.W, b.W)
         np.testing.assert_array_equal(a.H, b.H)
         np.testing.assert_array_equal(a.losses, b.losses)
+
+
+class TestPackedInput:
+    """First-class PackedMatrix input: solve() on pre-packed words is
+    bit-identical to solve() on the dense matrix it encodes (same kernels,
+    same words), and the chunked packer reproduces the whole-matrix
+    packing exactly."""
+
+    def _toy(self, m=300, n=200, seed=11):
+        return (np.random.default_rng(seed).random((m, n)) < 0.4).astype(float)
+
+    def test_pack_matrix_roundtrip_and_chunked_equality(self):
+        from nbmf_mm_tpu import pack_matrix, pack_matrix_chunked
+
+        Y = self._toy()
+        pm = pack_matrix(Y, k=4)
+        np.testing.assert_array_equal(np.asarray(pm.unpack()), Y)
+        # chunked (host chunks, stripe-misaligned chunk_rows get rounded)
+        pm2 = pack_matrix_chunked(
+            lambda a, b: Y[a:b], *Y.shape, 4, chunk_rows=100
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pm.words), np.asarray(pm2.words)
+        )
+        assert pm2.block_m == pm.block_m and pm2.shape == (300, 200)
+        # device chunks too
+        import jax.numpy as jnp
+
+        Yd = jnp.asarray(Y)
+        pm3 = pack_matrix_chunked(
+            lambda a, b: Yd[a:b], *Y.shape, 4, chunk_rows=128, validate=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pm.words), np.asarray(pm3.words)
+        )
+
+    def test_solve_packed_input_bit_identical_to_dense(self):
+        from nbmf_mm_tpu import pack_matrix, solve
+
+        Y = self._toy()
+        kw = dict(
+            max_iter=12, random_state=0, dtype="float32",
+            backend="pallas", pallas_interpret=True,
+        )
+        dense = solve(Y, 4, **kw)  # auto-packs (binary + eligible)
+        pm = pack_matrix(Y, k=4)
+        packed = solve(pm, 4, **kw)
+        np.testing.assert_array_equal(dense.W, packed.W)
+        np.testing.assert_array_equal(dense.H, packed.H)
+        np.testing.assert_array_equal(
+            np.asarray(dense.losses), np.asarray(packed.losses)
+        )
+
+    def test_packed_input_contract_errors(self):
+        from nbmf_mm_tpu import pack_matrix, solve
+
+        Y = self._toy(m=128, n=128)
+        pm = pack_matrix(Y, k=3)
+        kw = dict(backend="pallas", pallas_interpret=True)
+        with pytest.raises(ValueError, match="beta-dir"):
+            solve(pm, 3, orientation="dir-beta", **kw)
+        with pytest.raises(ValueError, match="mask"):
+            solve(pm, 3, mask=np.ones((128, 128)), **kw)
+        with pytest.raises(ValueError, match="packed=False"):
+            solve(pm, 3, packed=False, **kw)
+        with pytest.raises(ValueError, match="float32"):
+            solve(pm, 3, dtype="float64", **kw)
+        with pytest.raises(ValueError, match="Pallas backend"):
+            solve(pm, 3, backend="jnp")
+        # a layout packed for a different stripe height is caught (the
+        # stripe-local bit planes only combine with the same block_m)
+        from nbmf_mm_tpu import PackedMatrix
+
+        bad = PackedMatrix(words=pm.words, shape=pm.shape, block_m=64)
+        with pytest.raises(ValueError, match="PackedMatrix"):
+            solve(bad, 3, **kw)
+        with pytest.raises(ValueError, match="binary"):
+            pack_matrix(Y + 0.5, k=3)

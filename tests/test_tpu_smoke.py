@@ -85,3 +85,29 @@ def test_tpu_serving_fused_path():
     W, s = srv.transform(Xnew)
     assert W.shape == (100, 4) and np.all(np.isfinite(s))
     np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_tpu_flagship_1e9_packed_descent():
+    """Flagship scale on one chip: a >= 10^9-entry solve through the
+    PackedMatrix input (the data never exists dense anywhere — 1/32 the
+    HBM) stays finite and monotone.  Reproducible companion to
+    outputs/flagship_scale_tpu.csv (experiments/flagship_scale.py)."""
+    import jax.numpy as jnp
+
+    from nbmf_mm_tpu import pack_matrix_chunked, solve
+
+    M, N, K = 100_000, 10_000, 128
+    key = jax.random.PRNGKey(0)
+
+    def row_chunk(a, b):
+        k2 = jax.random.fold_in(key, a)
+        return jax.random.bernoulli(k2, 0.3, (b - a, N)).astype(jnp.float32)
+
+    pm = pack_matrix_chunked(row_chunk, M, N, K, validate=False)
+    assert M * N >= 10**9 and pm.nbytes < (M * N) / 8 + 2**24
+    res = solve(pm, K, max_iter=12, tol=0.0, random_state=0)
+    losses = np.asarray(res.losses)
+    assert len(losses) == 12 and np.all(np.isfinite(losses))
+    assert np.max(np.diff(losses)) <= 1e-4
+    assert np.all(np.isfinite(res.W)) and np.all(np.isfinite(res.H))
+    np.testing.assert_allclose(res.W.sum(axis=1), 1.0, atol=1e-4)
