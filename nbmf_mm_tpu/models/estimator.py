@@ -117,6 +117,12 @@ class NBMFMM(*_BASES):
         Compute dtype (default: float64 when JAX x64 is enabled, else f32).
     precision : optional
         Matmul precision ("default"/"high"/"highest" or lax.Precision).
+        ``None`` = path-appropriate defaults: HIGHEST on the XLA/jnp path,
+        DEFAULT on the Pallas TPU fast path (full-MXU-rate f32 with
+        bf16-grade product rounding, ~3.5e-3 relative — the regime the
+        quality tables are measured in).  Pass ``"highest"`` explicitly
+        for true-f32 Pallas matmuls (~3.4x slower MXU); see
+        docs/performance.md "MXU precision tiers".
     mesh : jax.sharding.Mesh, optional
         Shard the factorization over a device mesh with GSPMD.
     mesh_axes : (str, str), default ("rows", "cols")
@@ -318,6 +324,10 @@ class NBMFMM(*_BASES):
                 dtype=dtype,
                 interpret=jax.default_backend() not in ("tpu", "axon"),
                 packed=getattr(self, "packed", None),
+                mxu_precision=(
+                    None if self.precision is None
+                    else _resolve_precision(self.precision)
+                ),
             )
             return W
         X = jnp.asarray(X, dtype=dtype)

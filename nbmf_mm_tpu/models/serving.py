@@ -40,13 +40,13 @@ __all__ = ["FoldInServer", "fold_in_fused"]
     jax.jit,
     static_argnames=(
         "n_iter", "n_real", "eps", "block_m", "block_n", "interpret",
-        "stripe", "packed",
+        "stripe", "packed", "mxu_precision",
     ),
 )
 def _fold_in_batch_pallas(
     Hp, A, B, W0t, *, n_iter: int, n_real: int, eps: float,
     block_m: int, block_n: int, interpret: bool,
-    stripe: bool = False, packed: bool = False,
+    stripe: bool = False, packed: bool = False, mxu_precision=None,
 ):
     """Fused-kernel fold-in on padded operands.
 
@@ -84,6 +84,7 @@ def _fold_in_batch_pallas(
             return ps.w_terms_packed(
                 Wt, Hp, Ymp, Ym2p, n_real=n_real, eps=eps,
                 block_m=block_m, interpret=interpret,
+                precision=mxu_precision,
             )
     else:
         Ym = A * B
@@ -93,7 +94,7 @@ def _fold_in_batch_pallas(
             return ps.w_terms(
                 Wt, Hp, Ym, Ym2, n_real=n_real, eps=eps,
                 block_m=block_m, block_n=block_n, interpret=interpret,
-                stripe=stripe,
+                stripe=stripe, precision=mxu_precision,
             )
     n_features = jnp.asarray(n_real, W0t.dtype)
 
@@ -162,6 +163,7 @@ def fold_in_fused(
     packed: Optional[bool] = None,
     random_state: int = 0,
     eps: float = 1e-8,
+    mxu_precision=None,
 ):
     """One-shot fused fold-in of ``X`` against a fixed ``H (k, n_features)``.
 
@@ -258,6 +260,7 @@ def fold_in_fused(
         interpret=interpret,
         stripe=use_stripe,
         packed=use_packed,
+        mxu_precision=mxu_precision,
     )
     return np.asarray(W)[:rows], np.asarray(scores)[:rows]
 
@@ -313,6 +316,11 @@ class FoldInServer:
             H = model_or_H
         self.dtype = _resolve_dtype(dtype)
         self.precision = _resolve_precision(precision)
+        # Two-tier default as in solve(): the Pallas kernels run DEFAULT
+        # (full-rate MXU) unless precision is given explicitly.
+        self.mxu_precision = (
+            None if precision is None else _resolve_precision(precision)
+        )
         self.H = jnp.asarray(np.asarray(H), dtype=self.dtype)
         self.k, self.n_features = self.H.shape
         self.n_iter = int(n_iter)
@@ -478,6 +486,7 @@ class FoldInServer:
             interpret=self.pallas_interpret,
             stripe=use_stripe,
             packed=use_packed,
+            mxu_precision=self.mxu_precision,
         )
         return np.asarray(W)[:rows], np.asarray(scores)[:rows]
 

@@ -29,6 +29,12 @@ bit-identical to ``ym / a``; observed cross-backend trajectory deltas are
 ~1e-16, i.e. last-ulp).  Do not rely on bit-exact cross-backend
 reproducibility; same-backend runs remain bit-deterministic.
 
+Every kernel takes ``precision=`` (threaded into each ``dot_general``):
+``None`` leaves the MXU at DEFAULT — on TPU that is full-rate f32 with
+bf16-grade product rounding (~3.5e-3 relative, measured) — while
+``"highest"``/``lax.Precision.HIGHEST`` buys true-f32 products at ~3.4x
+slower matmuls (docs/performance.md "MXU precision tiers").
+
 Layout / padding contract (established by :func:`pad_operands`):
 
 - internal factor layout ``W (k, Mp)``, ``H (k, Np)`` with k on the sublane
@@ -123,6 +129,7 @@ def h_terms(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused H-update contractions on padded operands.
 
@@ -154,7 +161,7 @@ def h_terms(
         w = w_ref[...].astype(mxu)
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
-            w, h_ref[...].astype(mxu), (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w, h_ref[...].astype(mxu), (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )  # (bm, bn)
         # Shared-reciprocal ratios: one VPU divide instead of two.
         # p = ym/(wh+eps), q = yc/(1-wh+eps) via r = 1/((wh+eps)(1-wh+eps)).
@@ -165,10 +172,10 @@ def h_terms(
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         q = yc * (a * r)
         num_ref[...] += jax.lax.dot_general(
-            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         den_ref[...] += jax.lax.dot_general(
-            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
 
     in_specs = [
@@ -214,6 +221,7 @@ def hloss_terms(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    precision=None,
     stripe: bool = False,
 ):
     """One fused pass computing BOTH the H-update contractions and the
@@ -234,7 +242,7 @@ def hloss_terms(
     if stripe:
         return hloss_terms_stripe(
             W, H, Ym, Yc, eps=eps, m_real=m_real, n_real=n_real,
-            block_m=block_m, interpret=interpret,
+            block_m=block_m, interpret=interpret, precision=precision,
         )
     k, Mp = W.shape
     _, Np = H.shape
@@ -267,7 +275,7 @@ def hloss_terms(
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
             w, h_ref[...].astype(mxu), (((0,), (0,)), ((), ())),
-            preferred_element_type=acc,
+            preferred_element_type=acc, precision=precision,
         )  # (bm, bn)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         a = wh + eps
@@ -276,10 +284,10 @@ def hloss_terms(
         p = ym * (b * r)
         q = yc * (a * r)
         num_ref[...] += jax.lax.dot_general(
-            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         den_ref[...] += jax.lax.dot_general(
-            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         # Log-likelihood of the current (W, H) over the real region.
         ll = ym * jnp.log(a) + yc * jnp.log(b)
@@ -333,6 +341,7 @@ def w_terms(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    precision=None,
     stripe: bool = False,
 ) -> jnp.ndarray:
     """Fused W-update contraction ``T (k, Mp)`` on padded operands.
@@ -345,7 +354,7 @@ def w_terms(
     if stripe:
         return w_terms_stripe(
             W, H_new, Ym, Ym2, n_real=n_real, eps=eps,
-            block_m=block_m, interpret=interpret,
+            block_m=block_m, interpret=interpret, precision=precision,
         )
     k, Mp = W.shape
     _, Np = H_new.shape
@@ -370,7 +379,7 @@ def w_terms(
         h = h_ref[...].astype(mxu)
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
-            w_ref[...].astype(mxu), h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w_ref[...].astype(mxu), h, (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )  # (bm, bn)
         a = wh + eps
         b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
@@ -384,16 +393,28 @@ def w_terms(
             ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
         q = ym2 * (a * r)
         # T += H @ P.T + (1-H) @ Q.T, contracting the n axis of both
-        # operands.  Rewritten as ONE matmul + a rank-1 VPU reduction:
-        #   (1-H) @ Q.T = 1 @ Q.T - H @ Q.T, and (1 @ Q.T)_{k,m} = sum_n q
-        # is the same row for every k — so
-        #   T += H @ (P - Q).T + broadcast(sum_n Q).
-        # Exact identity (no eps approximation); cuts the sweep's MXU work
-        # by one of six matmuls (the f32 MXU is the measured bottleneck).
+        # operands.  This MUST stay in the two-matmul all-nonnegative form:
+        # the "one matmul + rank-1 reduction" identity
+        #   H @ (P - Q).T + broadcast(sum_n Q)
+        # is exact in real arithmetic but catastrophically cancels on the
+        # MXU — q reaches ~1/b ~ 1e7-1e8 wherever wh -> 1 on a Y=0 entry
+        # (routine near convergence, and immediately under beta < 1 priors),
+        # and at DEFAULT precision the MXU's f32 products carry bf16-grade
+        # rounding (3.5e-3 relative, measured — docs/performance.md "MXU
+        # precision tiers"), leaving absolute errors ~q*3.5e-3 ~ 1e5 that
+        # the cancellation exposes, driving T < 0 -> negative W ->
+        # log(WH<0) = NaN losses.  Found by the randomized stress sweep on
+        # a real chip (seed 1, draw 9: (32, 4) k=6 dir-beta beta=0.51 gave
+        # minT = -2.78e5 vs +15.8 true); the nonneg form keeps every
+        # product and partial sum >= 0, so T >= 0 structurally in floating
+        # point at ANY product precision.
         t_ref[...] += jax.lax.dot_general(
-            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        ) + jnp.sum(q, axis=1)[None, :]
+            h, p.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        ) + jax.lax.dot_general(
+            1.0 - h, q.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        )
 
     in_specs = [
         pl.BlockSpec((k, bm), lambda i, j: (0, i), memory_space=_VMEM),  # W
@@ -409,7 +430,7 @@ def w_terms(
         out_specs=pl.BlockSpec((k, bm), lambda i, j: (0, i), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Mp * Np * k,
+            flops=6 * Mp * Np * k,
             bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
             transcendentals=0,
         ),
@@ -432,6 +453,7 @@ def loglik_sum(
     block_m: int = DEFAULT_BLOCK,
     block_n: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """Fused masked Bernoulli log-likelihood sum over the real (m, n) region."""
     k, Mp = W.shape
@@ -459,7 +481,7 @@ def loglik_sum(
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
             w_ref[...].astype(mxu), h_ref[...].astype(mxu), (((0,), (0,)), ((), ())),
-            preferred_element_type=acc,
+            preferred_element_type=acc, precision=precision,
         )
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         ll = ym * jnp.log(wh + eps) + yc * jnp.log(jnp.maximum(1.0 - wh, 0.0) + eps)
@@ -532,6 +554,7 @@ def hloss_terms_stripe(
     n_real: int,
     block_m: int = 256,
     interpret: bool = False,
+    precision=None,
 ):
     """Fused H-update + loss pass on full-width (block_m, Np) data stripes.
 
@@ -564,7 +587,7 @@ def hloss_terms_stripe(
         h = h_ref[...].astype(mxu)
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )  # (bm, Np)
         yc = yc_ref[...].astype(acc) if explicit_yc else (1.0 - ym)
         a = wh + eps
@@ -573,10 +596,10 @@ def hloss_terms_stripe(
         p = ym * (b * r)
         q = yc * (a * r)
         num_ref[...] += jax.lax.dot_general(
-            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         den_ref[...] += jax.lax.dot_general(
-            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         # Pad contribution analysis (why no iota validity mask here): pad
         # rows/cols carry ym = 0 and wh = 0 exactly (zero-padded data, W pad
@@ -634,6 +657,7 @@ def w_terms_stripe(
     eps: float = 1e-8,
     block_m: int = 256,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """W-update contraction on full-width (block_m, Np) data stripes.
 
@@ -660,7 +684,7 @@ def w_terms_stripe(
         h = h_ref[...].astype(mxu)
         ym = ym_ref[...].astype(acc)
         wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )  # (bm, Np)
         a = wh + eps
         b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
@@ -672,11 +696,15 @@ def w_terms_stripe(
             col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
             ym2 = jnp.where(col < n_real, 1.0 - ym, 0.0)
         q = ym2 * (a * r)
-        # One matmul + rank-1 reduction (same identity as w_terms).
+        # Two-matmul all-nonnegative form — see w_terms for why the
+        # one-matmul cancellation identity is forbidden on the MXU.
         t_ref[...] = jax.lax.dot_general(
-            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        ) + jnp.sum(q, axis=1)[None, :]
+            h, p.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        ) + jax.lax.dot_general(
+            1.0 - h, q.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        )
 
     in_specs = [
         pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
@@ -692,7 +720,7 @@ def w_terms_stripe(
         out_specs=pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Mp * Np * k,
+            flops=6 * Mp * Np * k,
             bytes_accessed=Mp * Np * 4 * (2 if explicit_ym2 else 1),
             transcendentals=0,
         ),
@@ -821,6 +849,7 @@ def hloss_terms_packed(
     eps: float = 1e-8,
     block_m: int = 256,
     interpret: bool = False,
+    precision=None,
 ):
     """Bitpacked fused H-update + loss pass (semantics of
     :func:`hloss_terms_stripe`).
@@ -857,7 +886,7 @@ def hloss_terms_packed(
         h = h_ref[...].astype(mxu)
         bit = _unpack_bitmask(yp_ref[...], bm)
         wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )  # (bm, Np)
         a = wh + eps
         b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
@@ -872,10 +901,10 @@ def hloss_terms_packed(
             q = jnp.where(bit, 0.0, a * r)
             ll = jnp.log(jnp.where(bit, a, b))
         num_ref[...] += jax.lax.dot_general(
-            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, p.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         den_ref[...] += jax.lax.dot_general(
-            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc
+            w, q.astype(mxu), (((1,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         # Pad bias analysis as in hloss_terms_stripe: pad elements add the
         # constant log(1 + eps) <= 1e-8 each (exactly 0 in corrected mode).
@@ -925,6 +954,7 @@ def w_terms_packed(
     eps: float = 1e-8,
     block_m: int = 256,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """Bitpacked W-update contraction (semantics of :func:`w_terms_stripe`).
 
@@ -952,7 +982,7 @@ def w_terms_packed(
         h = h_ref[...].astype(mxu)
         bit = _unpack_bitmask(yp_ref[...], bm)
         wh = jax.lax.dot_general(
-            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc
+            w, h, (((0,), (0,)), ((), ())), preferred_element_type=acc, precision=precision
         )
         a = wh + eps
         b = jnp.maximum(1.0 - wh, 0.0) + eps  # exact when wh <= 1; guards f32 wh>1 rounding
@@ -964,11 +994,16 @@ def w_terms_packed(
             col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
             bit2 = jnp.logical_and(jnp.logical_not(bit), col < n_real)
         q = jnp.where(bit2, a * r, 0.0)
-        # One matmul + rank-1 reduction (same identity as w_terms_stripe).
+        # Two-matmul all-nonnegative form — see w_terms for why the
+        # one-matmul cancellation identity is forbidden on the MXU; also
+        # keeps this path bit-identical to w_terms_stripe.
         t_ref[...] = jax.lax.dot_general(
-            h, (p - q).astype(mxu), (((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        ) + jnp.sum(q, axis=1)[None, :]
+            h, p.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        ) + jax.lax.dot_general(
+            1.0 - h, q.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc, precision=precision,
+        )
 
     in_specs = [
         pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),  # W tile
@@ -984,7 +1019,7 @@ def w_terms_packed(
         out_specs=pl.BlockSpec((k, bm), lambda j: (0, j), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((k, Mp), W.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Mp * Np * k,
+            flops=6 * Mp * Np * k,
             bytes_accessed=Mp * Np // 8 * (2 if explicit2 else 1),
             transcendentals=0,
         ),

@@ -77,6 +77,9 @@ def grid_solve(
             f"projection must be 'normalize' or 'duchi', got {projection!r}"
         )
     dtype = _resolve_dtype(dtype)
+    # Same two-tier default as solve(): jnp path HIGHEST, Pallas path
+    # DEFAULT (full-rate MXU); an explicit argument is honored on both.
+    mxu_precision = None if precision is None else _resolve_precision(precision)
     precision = _resolve_precision(precision)
 
     # bf16 translation, exactly as solve(): bf16 is a DATA-storage mode —
@@ -87,6 +90,7 @@ def grid_solve(
         data_dtype = jnp.bfloat16
         dtype = jnp.dtype(jnp.float32)
         precision = jax.lax.Precision.DEFAULT
+        mxu_precision = None
 
     Y = np.asarray(Y.toarray() if hasattr(Y, "toarray") else Y, dtype=dtype)
     if mask is not None:
@@ -185,7 +189,7 @@ def grid_solve(
             max_iter=max_iter, projection=projection, verbose=0,
             eps=float(eps), m_real=m, n_real=n,
             block_m=bm, block_n=bn, interpret=pallas_interpret,
-            packed=use_packed,
+            packed=use_packed, mxu_precision=mxu_precision,
         )
         batched = jax.vmap(
             core, in_axes=(None, None, None, None, None, 0, 0, None, None)

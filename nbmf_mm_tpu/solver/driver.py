@@ -197,6 +197,7 @@ def _solve_core(
         "block_n",
         "interpret",
         "packed",
+        "mxu_precision",
     ),
 )
 def _solve_core_pallas(
@@ -220,6 +221,7 @@ def _solve_core_pallas(
     block_n: int,
     interpret: bool = False,
     packed: bool = False,
+    mxu_precision=None,
 ):
     """Pallas-path MM loop on zero-padded operands (see
     :mod:`nbmf_mm_tpu.ops.pallas_sweep` for the padding contract).
@@ -244,7 +246,10 @@ def _solve_core_pallas(
     from ..ops import pallas_sweep as ps
     from ..ops.projection import project_columns_simplex_duchi
 
-    kw = dict(block_m=block_m, block_n=block_n, interpret=interpret)
+    kw = dict(
+        block_m=block_m, block_n=block_n, interpret=interpret,
+        precision=mxu_precision,
+    )
     dtype = W0p.dtype
 
     # Kernel implementation dispatch: full-width stripe kernels when the
@@ -263,19 +268,22 @@ def _solve_core_pallas(
         # as Ym2p), None otherwise — mirroring the dense operand contract.
         hloss_fn = lambda W, H: ps.hloss_terms_packed(
             W, H, Ymp, Ycp, eps=eps, block_m=stripe_bm, interpret=interpret,
+            precision=mxu_precision,
         )
         wterms_fn = lambda W, H_new: ps.w_terms_packed(
             W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps,
-            block_m=stripe_bm, interpret=interpret,
+            block_m=stripe_bm, interpret=interpret, precision=mxu_precision,
         )
     elif use_stripe:
         hloss_fn = lambda W, H: ps.hloss_terms(
             W, H, Ymp, Ycp, eps=eps, m_real=m_real, n_real=n_real,
             block_m=stripe_bm, interpret=interpret, stripe=True,
+            precision=mxu_precision,
         )
         wterms_fn = lambda W, H_new: ps.w_terms(
             W, H_new, Ymp, Ym2p, n_real=n_real, eps=eps,
             block_m=stripe_bm, interpret=interpret, stripe=True,
+            precision=mxu_precision,
         )
     else:
         hloss_fn = lambda W, H: ps.hloss_terms(
@@ -519,6 +527,15 @@ def solve(
       objective, fully monotone).
     - ``dtype``: ``float64`` (CPU parity regime), ``float32``, or
       ``"bfloat16"`` (bf16 data matrices, f32 factors/accumulation).
+    - ``precision``: matmul precision ("default"/"high"/"highest" or a
+      ``lax.Precision``).  ``None`` means path-appropriate defaults: the
+      XLA/jnp path runs HIGHEST (true-f32 products); the Pallas fast path
+      runs DEFAULT — on TPU that is full-MXU-rate f32 with bf16-grade
+      product rounding (~3.5e-3 relative, measured on v5e), the regime the
+      quality tables are reported under.  Pass ``precision="highest"``
+      explicitly for true-f32 Pallas matmuls (~3.4x slower MXU) when
+      trajectories must track the CPU path tightly (see
+      docs/performance.md "MXU precision tiers").
     - ``mesh``/``mesh_axes``: shard data and factors over a 2-D device mesh
       (GSPMD on the XLA path; shard_map + per-shard fused kernels with
       explicit psums on the Pallas path).
@@ -604,7 +621,19 @@ def solve(
 
     t_start = time.time()
     dtype = _resolve_dtype(dtype)
+    # Two path-appropriate defaults (documented in docs/performance.md
+    # "MXU precision tiers"): the XLA/jnp path (the parity/reference path)
+    # defaults to HIGHEST (true-f32 products); the Pallas fast path defaults
+    # to DEFAULT, which on TPU runs f32 matmuls at the full bf16 MXU rate
+    # with bf16-grade product rounding (~3.5e-3 relative, measured) — the
+    # throughput the kernels exist for.  An EXPLICIT precision argument is
+    # honored on both paths: precision="highest" buys true-f32 Pallas
+    # matmuls (~3.4x slower MXU, measured) for tight-tolerance work.
+    user_precision = precision
     precision = _resolve_precision(precision)
+    mxu_precision = (
+        None if user_precision is None else _resolve_precision(user_precision)
+    )
 
     # bfloat16 mode: the factors, updates and losses stay f32; only the big
     # (m, n) data matrices are stored bf16 (lossless for binary data) and the
@@ -616,6 +645,7 @@ def solve(
         data_dtype = jnp.bfloat16
         dtype = jnp.dtype(jnp.float32)
         precision = jax.lax.Precision.DEFAULT
+        mxu_precision = None  # operands are bf16 already; passes buy nothing
 
     # Accept device-resident arrays without a host round-trip (large inputs
     # through a remote-device tunnel would otherwise re-transfer per call).
@@ -856,6 +886,7 @@ def solve(
             data_dtype=data_dtype,
             packed=pk_sharded,
             packed_required=packed is True,
+            mxu_precision=mxu_precision,
         )
         best = int(jnp.argmin(final_loss_b)) if n_init > 1 else 0
         all_final = np.asarray(final_loss_b) if n_init > 1 else None
@@ -971,6 +1002,7 @@ def solve(
             block_n=bn,
             interpret=pallas_interpret,
             packed=use_packed,
+            mxu_precision=mxu_precision,
         )
         data = (Ymp, Ym2p, Ycp)
         inits = (W0p, H0p)

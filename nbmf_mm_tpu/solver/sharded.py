@@ -80,6 +80,7 @@ def solve_core_sharded(
     data_dtype=None,
     packed: bool = False,
     packed_required: bool = False,
+    mxu_precision=None,
 ):
     """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
 
@@ -130,7 +131,8 @@ def solve_core_sharded(
     Vn = jax.device_put(Vn, NamedSharding(mesh, P(None, cols)))
 
     m_loc, n_loc = Mp // n_rows, Np // n_cols
-    kw = dict(block_m=bm, block_n=bn, interpret=interpret)
+    kw = dict(block_m=bm, block_n=bn, interpret=interpret,
+              precision=mxu_precision)
 
     # Per-shard bitpacking decision (static): the caller vouches the
     # operands are exactly binary; here we only need the local stripe
@@ -156,11 +158,11 @@ def solve_core_sharded(
             Ycp_l = ps.pack_bits(Yc_l, pack_bm)
             hloss_local = lambda W_l, H_l: ps.hloss_terms_packed(
                 W_l, H_l, Ymp_l, Ycp_l, eps=eps, block_m=pack_bm,
-                interpret=interpret,
+                interpret=interpret, precision=mxu_precision,
             )
             wterms_local = lambda W_l, H_new: ps.w_terms_packed(
                 W_l, H_new, Ymp_l, Ym2p_l, n_real=n_real, eps=eps,
-                block_m=pack_bm, interpret=interpret,
+                block_m=pack_bm, interpret=interpret, precision=mxu_precision,
             )
         else:
             hloss_local = lambda W_l, H_l: ps.hloss_terms(

@@ -295,3 +295,105 @@ class TestPackedInput:
             solve(bad, 3, **kw)
         with pytest.raises(ValueError, match="binary"):
             pack_matrix(Y + 0.5, k=3)
+
+
+class TestWTermsCancellation:
+    """Regression for the W-pass cancellation identity (round-3 hardware
+    stress find): ``(1-H) @ Q.T`` must NOT be rewritten as
+    ``colsum(Q) - H @ Q.T``.  The identity is exact in real arithmetic but
+    q reaches ~1/eps ~ 1e8 wherever wh -> 1 on a Y=0 entry, and the two
+    separately rounded 1e8-magnitude sums cancel to absolute errors far
+    above the true result (negative T -> negative W -> NaN losses on the
+    chip).  The two-matmul form keeps every product and partial sum >= 0,
+    so T >= 0 holds structurally in ANY floating-point evaluation order.
+    """
+
+    K, M, N = 8, 128, 128  # exact block multiples: no padding interplay
+
+    def _case(self):
+        # Engineered worst case: H == 1.0 exactly on even columns makes
+        # wh == 1 (f32) there, so b == eps and q == 1/eps ~ 1e8 on the
+        # Y=0 entries of those columns; odd columns keep moderate values
+        # so T also carries ordinary-magnitude structure.
+        rng = np.random.default_rng(7)
+        W = rng.uniform(0.1, 0.9, (self.K, self.M)).astype(np.float32)
+        W /= W.sum(axis=0, keepdims=True)
+        H = rng.uniform(0.1, 0.9, (self.K, self.N)).astype(np.float32)
+        H[:, ::2] = 1.0
+        Y = (rng.random((self.M, self.N)) < 0.3).astype(np.float32)
+        Y[:, ::2] = 0.0
+        return W, H, Y
+
+    @staticmethod
+    def _terms(W, H, Y, eps=1e-8):
+        """The per-entry P/Q operands in float64 (kernel's shared-reciprocal
+        form; see w_terms in ops/pallas_sweep.py)."""
+        wh = W.T.astype(np.float64) @ H.astype(np.float64)
+        a = wh + eps
+        b = np.maximum(1.0 - wh, 0.0) + eps
+        r = 1.0 / (a * b)
+        p = Y * (b * r)
+        q = (1.0 - Y) * (a * r)
+        return p, q
+
+    def test_case_defeats_the_rank1_identity(self):
+        # Sanity that the case has teeth: the retired one-matmul form,
+        # evaluated in plain f32 (kinder rounding than the MXU's bf16x3),
+        # already yields large negative entries where the truth is >= 0.
+        W, H, Y = self._case()
+        p, q = self._terms(W, H, Y)
+        t_old = H.astype(np.float32) @ (p - q).astype(np.float32).T + q.astype(
+            np.float32
+        ).sum(axis=1)[None, :]
+        t_true = H.astype(np.float64) @ p.T + (1.0 - H.astype(np.float64)) @ q.T
+        assert t_true.min() >= 0.0
+        assert t_old.min() < -1.0  # catastrophic, not last-ulp, cancellation
+
+    @pytest.mark.parametrize("variant", ["tiled", "stripe", "packed"])
+    def test_kernels_stay_nonnegative_and_accurate(self, variant):
+        from nbmf_mm_tpu.ops.pallas_sweep import pack_bits, w_terms
+
+        W, H, Y = self._case()
+        p, q = self._terms(W, H, Y)
+        t_true = H.astype(np.float64) @ p.T + (1.0 - H.astype(np.float64)) @ q.T
+
+        if variant == "packed":
+            from nbmf_mm_tpu.ops.pallas_sweep import w_terms_packed
+
+            yp = pack_bits(np.asarray(Y), block_m=128)
+            t = w_terms_packed(W, H, yp, n_real=self.N, block_m=128, interpret=True)
+        else:
+            t = w_terms(
+                W, H, Y, n_real=self.N, block_m=128, block_n=128,
+                interpret=True, stripe=(variant == "stripe"),
+            )
+        t = np.asarray(t)
+        assert t.min() >= 0.0
+        # Entries reach ~(1/eps)*N ~ 1e10; f32 agreement is relative.
+        np.testing.assert_allclose(t, t_true, rtol=5e-5, atol=1e-4)
+
+
+def test_precision_plumbing_all_paths():
+    """solve/grid/fold-in accept explicit matmul precision on the Pallas
+    path (threaded into every kernel dot_general — round-3 'MXU precision
+    tiers').  On CPU all tiers compute identical f32 products, so explicit
+    precision must reproduce the default bit-for-bit; the real-TPU tier
+    behavior is pinned in tests/test_tpu_smoke.py."""
+    X = _toy()
+    kw = dict(max_iter=10, random_state=0, **F32, **PALLAS)
+    a = solve(X, 4, **kw)
+    for prec in ("default", "highest"):
+        b = solve(X, 4, precision=prec, **kw)
+        np.testing.assert_array_equal(a.W, b.W)
+        np.testing.assert_array_equal(np.asarray(a.losses), np.asarray(b.losses))
+
+    from nbmf_mm_tpu.models.serving import fold_in_fused
+    from nbmf_mm_tpu.parallel.grid import grid_solve
+
+    g = grid_solve(X, 3, [1.5], [2.0], max_iter=5, backend="pallas",
+                   pallas_interpret=True, precision="highest")
+    assert np.all(np.isfinite(g["final_loss"]))
+    W1, _ = fold_in_fused(a.H, X, n_iter=5, interpret=True)
+    W2, _ = fold_in_fused(a.H, X, n_iter=5, interpret=True,
+                          mxu_precision="highest")
+    np.testing.assert_array_equal(W1, W2)

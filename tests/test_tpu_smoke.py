@@ -111,3 +111,30 @@ def test_tpu_flagship_1e9_packed_descent():
     assert np.max(np.diff(losses)) <= 1e-4
     assert np.all(np.isfinite(res.W)) and np.all(np.isfinite(res.H))
     np.testing.assert_allclose(res.W.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_tpu_mxu_precision_tiers():
+    """Round-3 'MXU precision tiers': at DEFAULT precision the chip's f32
+    matmuls carry bf16-grade product rounding (~3.5e-3 relative), so a
+    converged fixed point is not bit-stationary and the loss may jitter at
+    ~1e-3 scale; precision="highest" (true-f32 products, ~3.4x slower MXU)
+    restores the tight descent bound and tracks the HIGHEST-precision XLA
+    path closely.  Construction mirrors stress seed 1 draw 56 (k=1 reaches
+    its fixed point immediately; every subsequent sweep only exposes
+    product jitter)."""
+    from nbmf_mm_tpu import solve
+
+    rng = np.random.default_rng(56)
+    Y = (rng.random((25, 5)) < 0.25).astype(float)
+    mask = (rng.random((25, 5)) < 0.55).astype(float)
+    kw = dict(max_iter=15, tol=0.0, alpha=2.04, beta=3.03, mask=mask,
+              random_state=0, orientation="dir-beta", dtype="float32")
+
+    lo = solve(Y, 1, backend="pallas", **kw)
+    hi = solve(Y, 1, backend="pallas", precision="highest", **kw)
+    ref = solve(Y, 1, backend="jnp", **kw)  # jnp default = HIGHEST
+
+    assert np.max(np.diff(np.asarray(lo.losses))) <= 2e-3
+    assert np.max(np.diff(np.asarray(hi.losses))) <= 1e-4
+    np.testing.assert_allclose(hi.losses, ref.losses, atol=2e-5)
+    np.testing.assert_allclose(hi.W, ref.W, atol=2e-4)
