@@ -241,6 +241,69 @@ def main():
             results["pallas_bf16"], _ = _time_variant(
                 _solve_core_pallas, (Ymp.astype(jnp.bfloat16),) + pargs, pkw
             )
+            # True-f32 MXU products (docs/performance.md "MXU precision
+            # tiers"): what precision="highest" costs at headline size.
+            results["pallas_f32_highest"], _ = _time_variant(
+                _solve_core_pallas,
+                (Ypk,) + pargs,
+                dict(pkw, packed=True,
+                     mxu_precision=jax.lax.Precision.HIGHEST),
+            )
+
+        if os.environ.get("NBMF_BENCH_FLAGSHIP", "1") == "1" and M == 10000:
+            # Flagship scale (BASELINE.json stretch target): 10^5 x 10^4 =
+            # 10^9 entries, bitpacked (122.5 MB of words vs 4 GB dense f32).
+            # Slope-timed over max_iter like every other variant; companion
+            # to outputs/flagship_scale_tpu.csv (which adds convergence and
+            # quality).  The dense bf16 equivalent ran 174 ms/sweep under
+            # HBM pressure; packed runs at the 6-matmul MXU floor.
+            Mf = 100_000
+            Mfp = ps.round_up(Mf, 512)
+            okf, bmf = ps.select_stripe(K, Mfp, Np, 1, packed=True)
+            assert okf, "flagship shape must be pack-eligible"
+            kf = jax.random.PRNGKey(7)
+            Wf = jax.random.uniform(
+                jax.random.fold_in(kf, 1), (K, Mfp), jnp.float32, 0.1, 0.9
+            )
+            Wf = Wf / Wf.sum(axis=0, keepdims=True)
+            Hf = jax.random.uniform(
+                jax.random.fold_in(kf, 2), (K, Np), jnp.float32, 0.1, 0.9
+            )
+
+            @jax.jit
+            def _mk_packed_flagship():
+                def chunk(i, acc):
+                    y = (
+                        jax.random.uniform(jax.random.fold_in(kf, 100 + i), (bmf, Np))
+                        < 0.3
+                    ).astype(jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        acc, ps.pack_bits(y, bmf), (i * (bmf // 32), 0)
+                    )
+                return jax.lax.fori_loop(
+                    0, Mfp // bmf, chunk, jnp.zeros((Mfp // 32, Np), jnp.int32)
+                )
+
+            Ypkf = _mk_packed_flagship()
+            fkw = dict(pkw, packed=True, m_real=Mf)
+            fargs = (
+                Ypkf, None, None, Wf, Hf,
+                f32(1.2), f32(1.2), f32(0.0), f32(Mf * N),
+            )
+            lo_hi = (6, 26)
+            times = {c: np.inf for c in lo_hi}
+            for c in lo_hi:  # compile both counts
+                float(np.asarray(_solve_core_pallas(
+                    *fargs, **dict(fkw, max_iter=c))[4]))
+            for _ in range(3):
+                for c in lo_hi:
+                    t0 = time.perf_counter()
+                    float(np.asarray(_solve_core_pallas(
+                        *fargs, **dict(fkw, max_iter=c))[4]))
+                    times[c] = min(times[c], time.perf_counter() - t0)
+            f_slope = (times[lo_hi[1]] - times[lo_hi[0]]) / (lo_hi[1] - lo_hi[0])
+            results["flagship_1e9_ms_per_sweep"] = 1000 * f_slope
+            del Ypkf, Wf, Hf
 
     if not on_tpu or FULL:
         Ym, Ym2, Yc = precompute_masked_terms(Y, None)

@@ -441,26 +441,31 @@ def _random_uniform_inits(key, n_init, m, n, k, dtype):
 
 
 def _final_simplex_safeguard(W_final, H_final, orientation):
-    """Host-side renormalization safeguard replicating ``_solver.py:186-213``:
-    if the simplex factor drifted more than 1e-9 from unit sums, renormalize
-    (guarding degenerate all-zero slices)."""
+    """Renormalization safeguard replicating ``_solver.py:186-213``: if the
+    simplex factor drifted more than 1e-9 from unit sums, renormalize
+    (guarding degenerate all-zero slices).
+
+    Works on host (numpy) and device (jax) arrays alike; the device variant
+    syncs only the scalar drift (4 bytes), never the factors — required by
+    ``solve(device_results=True)``."""
     tiny, tol = 1e-12, 1e-9
+    xp = jnp if isinstance(W_final, jax.Array) else np
     if orientation == "beta-dir":
         if W_final.size:
             row_sums = W_final.sum(axis=1, keepdims=True)
-            dev = float(np.max(np.abs(row_sums - 1.0)))
+            dev = float(xp.max(xp.abs(row_sums - 1.0)))
             if np.isfinite(dev) and dev > tol:
                 safe = row_sums > tiny
-                if np.any(safe):
-                    W_final = np.where(safe, W_final / np.where(safe, row_sums, 1.0), W_final)
+                if bool(xp.any(safe)):
+                    W_final = xp.where(safe, W_final / xp.where(safe, row_sums, 1.0), W_final)
     else:
         if H_final.size:
             col_sums = H_final.sum(axis=0, keepdims=True)
-            dev = float(np.max(np.abs(col_sums - 1.0)))
+            dev = float(xp.max(xp.abs(col_sums - 1.0)))
             if np.isfinite(dev) and dev > tol:
                 safe = col_sums > tiny
-                if np.any(safe):
-                    H_final = np.where(safe, H_final / np.where(safe, col_sums, 1.0), H_final)
+                if bool(xp.any(safe)):
+                    H_final = xp.where(safe, H_final / xp.where(safe, col_sums, 1.0), H_final)
     return W_final, H_final
 
 
@@ -496,6 +501,7 @@ def solve(
     pallas_interpret: bool = False,
     return_all: bool = False,
     packed: Optional[bool] = None,
+    device_results: bool = False,
 ) -> SolverResult:
     """Solve ``Y ~ Bernoulli(W @ H)`` by MM and return a :class:`SolverResult`.
 
@@ -568,6 +574,15 @@ def solve(
       f32 — so the largest solvable single-chip problem is set by the
       packed footprint, not the dense staging.  Beta-dir, unmasked,
       single-chip, f32 (everything else raises).
+    - ``device_results``: return ``W``/``H``/``losses`` as device
+      ``jax.Array``s instead of host numpy (the final simplex safeguard
+      runs on-device; only scalar ``n_iter``/``converged``/drift sync).
+      Use when the factors feed further device work (serving fold-in,
+      chained solves) or when the host link is slow — at flagship scale
+      (m=10^5, k=128) the 49 MB ``W`` pull dominates the whole solve on a
+      thin link, while the solve itself runs 15.5 ms/sweep.  With
+      ``return_all`` the per-restart ``extras`` are still host numpy (the
+      10-init protocol consumes them host-side).
     """
     if orientation not in _ORIENTATIONS:
         raise ValueError(
@@ -896,7 +911,7 @@ def solve(
         result = _package_result(
             W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
             transposed=transposed, verbose=verbose, max_iter=max_iter,
-            t_start=t_start, seed=seed,
+            t_start=t_start, seed=seed, to_host=not device_results,
         )
         if return_all:
             # solve_core_sharded returns every restart (already unpadded);
@@ -1056,7 +1071,7 @@ def solve(
     result = _package_result(
         W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
         transposed=transposed, verbose=verbose, max_iter=max_iter,
-        t_start=t_start, seed=seed,
+        t_start=t_start, seed=seed, to_host=not device_results,
     )
     if all_results is not None:
         _attach_all_results(
@@ -1089,13 +1104,20 @@ def _attach_all_results(result, all_results, *, m, n, sliced, transposed):
 
 def _package_result(
     W_dev, H_dev, losses_dev, n_iter_dev, done_dev, best, all_final,
-    *, transposed, verbose, max_iter, t_start, seed,
+    *, transposed, verbose, max_iter, t_start, seed, to_host: bool = True,
 ) -> SolverResult:
-    """Pull device results (single host sync), restore external notation and
-    the requested orientation, and apply the final simplex safeguard."""
-    W_int = np.asarray(W_dev)
-    H_final = np.asarray(H_dev)
-    losses_buf = np.asarray(losses_dev)
+    """Restore external notation/orientation and apply the final simplex
+    safeguard.  ``to_host=True`` (default) pulls the factors to numpy in a
+    single host sync; ``to_host=False`` (``solve(device_results=True)``)
+    leaves ``W``/``H``/``losses`` as device arrays — only the scalar
+    ``n_iter``/``converged``/drift syncs happen, so no O(m*k) bytes cross
+    the device link."""
+    if to_host:
+        W_int = np.asarray(W_dev)
+        H_final = np.asarray(H_dev)
+        losses_buf = np.asarray(losses_dev)
+    else:
+        W_int, H_final, losses_buf = W_dev, H_dev, losses_dev
     n_iter = int(n_iter_dev)
     converged = bool(done_dev)
 
@@ -1107,7 +1129,10 @@ def _package_result(
         W_final, H_final, "dir-beta" if transposed else "beta-dir"
     )
 
-    losses = [float(x) for x in losses_buf[:n_iter]]
+    if to_host:
+        losses = [float(x) for x in losses_buf[:n_iter]]
+    else:
+        losses = losses_buf[:n_iter]
     if verbose > 0 and converged and n_iter < max_iter:
         print(f"Converged at iteration {n_iter - 1}")
 

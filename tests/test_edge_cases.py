@@ -132,3 +132,34 @@ def test_all_masked_out_row_gives_zero_simplex_row():
     sums = r.W.sum(axis=1)
     assert sums[11] == 0.0
     np.testing.assert_allclose(np.delete(sums, 11), 1.0, atol=1e-6)
+
+
+def test_device_results_identical_and_on_device():
+    """``device_results=True`` keeps W/H/losses as jax arrays (no host
+    pull; the simplex safeguard runs on-device) and is bit-identical to
+    the default host packaging — on every orientation/mask/restart
+    routing.  Motivation: at flagship scale the 49 MB W retrieval can
+    dominate the solve wall time on a slow host link
+    (experiments/flagship_scale.py records it separately)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    Y = (rng.random((60, 40)) < 0.4).astype(float)
+    a = solve(Y, 5, max_iter=40, random_state=0)
+    b = solve(Y, 5, max_iter=40, random_state=0, device_results=True)
+    assert not isinstance(a.W, jax.Array)
+    assert isinstance(b.W, jax.Array) and isinstance(b.H, jax.Array)
+    np.testing.assert_array_equal(a.W, np.asarray(b.W))
+    np.testing.assert_array_equal(a.H, np.asarray(b.H))
+    np.testing.assert_array_equal(np.asarray(a.losses), np.asarray(b.losses))
+    assert a.n_iter == b.n_iter and a.converged == b.converged
+    assert len(b.losses) == b.n_iter  # history contract holds on-device
+
+    mask = (rng.random((60, 40)) < 0.8).astype(float)
+    c = solve(Y, 5, max_iter=30, random_state=1, orientation="dir-beta",
+              mask=mask, n_init=3)
+    d = solve(Y, 5, max_iter=30, random_state=1, orientation="dir-beta",
+              mask=mask, n_init=3, device_results=True)
+    np.testing.assert_array_equal(c.W, np.asarray(d.W))
+    np.testing.assert_array_equal(c.H, np.asarray(d.H))
+    assert c.best_restart == d.best_restart
