@@ -44,3 +44,13 @@ observed = (rng.random((10, 300)) < 0.5).astype(float)
 W_part, scores_part = server.transform(X_part, mask=observed)
 print(f"masked batch: W {W_part.shape}, "
       f"mean observed loglik {scores_part.mean():.4f}")
+
+# On-device fit -> serve pipeline: with device_results=True the factors
+# never visit the host — hand the SolverResult straight to FoldInServer
+# (useful when the host link is slow or the factors are large).
+from nbmf_mm_tpu import solve
+
+result = solve(X, 8, random_state=0, tol=1e-6, device_results=True)
+server2 = FoldInServer(result, buckets=(64,))
+W2, s2 = server2.transform(X_new[:3])
+print(f"device-handoff server: W {W2.shape}, loglik {s2.mean():.4f}")

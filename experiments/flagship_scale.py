@@ -15,7 +15,9 @@ missing #1 / next-round #1):
 - each config runs ``solve(PackedMatrix, ..., device_results=True)`` to
   convergence twice (the first run pays the compile; the second is timed),
   recording throughput, the full descent check, the final objective against
-  the generator's oracle NLL, and peak HBM from the device allocator.
+  the generator's oracle NLL, and the resident-HBM figure (allocator peak
+  when the device exposes one; analytic estimate marked ``~`` otherwise —
+  the tunneled dev chip reports no memory_stats).
 
 ``device_results=True`` makes ``solve_s`` the DEVICE solve time: the
 factors stay on-chip and the 49 MB ``W`` pull is timed separately as
@@ -101,12 +103,22 @@ def synth_packed(key, M, N, K_true, K_solve):
     return pm, -ll_sum[0] / (M * N)
 
 
-def peak_hbm_gb():
+def hbm_gb(pm, K):
+    """Resident-HBM figure for the row: the allocator peak when the device
+    exposes it, else an analytic estimate of the solve's resident buffers —
+    packed words + the while_loop's double-buffered factor carries (W x2 +
+    init, T) at (k, Mp) and (H x2 + init, Num, Den) at (k, Np).  The
+    tunneled dev chip reports no memory_stats, so the committed artifact
+    carries the estimate (marked `~`)."""
     from nbmf_mm_tpu.utils.profiling import device_memory_stats
 
     st = device_memory_stats()
     peak = st.get("peak_bytes_in_use") or st.get("bytes_in_use")
-    return round(peak / 2**30, 3) if peak else None
+    if peak:
+        return round(peak / 2**30, 3)
+    Mp, Np = pm.padded_shape
+    est = pm.nbytes + 4 * 4 * K * Mp + 5 * 4 * K * Np
+    return f"~{est / 2**30:.3f}"
 
 
 def run_config(name, M, N, K, K_true, max_iter, writer, f):
@@ -154,7 +166,7 @@ def run_config(name, M, N, K, K_true, max_iter, writer, f):
         solve_s=round(solve_s, 2), retrieve_s=round(retrieve_s, 2),
         gen_pack_s=round(gen_s, 1),
         worst_descent_violation=f"{worst:.2e}",
-        peak_hbm_gb=peak_hbm_gb(), device=str(jax.devices()[0]),
+        hbm_gb=hbm_gb(pm, K), device=str(jax.devices()[0]),
     )
     if writer[0] is None:
         writer[0] = csv.DictWriter(f, fieldnames=list(row))
@@ -170,12 +182,22 @@ def main():
     ap.add_argument("--ceiling", action="store_true",
                     help="also run the HBM-ceiling probes (4e9 and 1e10 entries)")
     ap.add_argument("--only", default=None, help="run a single named config")
+    ap.add_argument("--append", action="store_true",
+                    help="append rows to an existing CSV instead of rewriting "
+                         "it (targeted --only retries)")
     args = ap.parse_args()
 
     from experiments._env import force_platform
 
     force_platform(os.environ.get("NBMF_PLATFORM", "tpu"))
     import jax
+
+    from nbmf_mm_tpu.utils import enable_compilation_cache
+
+    # First compiles at these sizes cost minutes through the remote-compile
+    # tunnel; keep them on disk (timing is unaffected: the timed quantity is
+    # the second, in-process-warm call).
+    enable_compilation_cache()
 
     assert jax.default_backend() in ("tpu", "axon"), (
         "flagship_scale.py measures the real chip; set NBMF_PLATFORM=tpu"
@@ -185,8 +207,14 @@ def main():
     if args.only:
         configs = [c for c in configs + CEILING if c[0] == args.only]
     OUT.parent.mkdir(parents=True, exist_ok=True)
+    appending = args.append and OUT.exists() and OUT.stat().st_size > 0
     writer = [None]
-    with open(OUT, "w", newline="") as f:
+    if appending:  # reuse the existing header (column sets must match)
+        with open(OUT, newline="") as f0:
+            writer = [csv.DictWriter(sys.stdout, next(csv.reader(f0)))]
+    with open(OUT, "a" if appending else "w", newline="") as f:
+        if appending:
+            writer = [csv.DictWriter(f, writer[0].fieldnames)]
         for cfg in configs:
             run_config(*cfg, writer, f)
     print(f"wrote {OUT}")
