@@ -188,7 +188,10 @@ def fold_in_fused(
     if mask is not None:
         mask = densify(mask)
     rows, n_features = X.shape
-    H = jnp.asarray(np.asarray(H), dtype=dtype)
+    if isinstance(H, jax.Array):  # device H stays in place (no host pull)
+        H = H.astype(dtype)
+    else:
+        H = jnp.asarray(np.asarray(H), dtype=dtype)
     k = H.shape[0]
 
     b = max(rows, 128)  # kernel lane minimum

@@ -709,12 +709,18 @@ def solve(
 
     if custom_init:
         kw, kh = jax.random.split(key)
+        # Device-resident inits stay in place (no host round-trip — e.g.
+        # warm-starting from a previous solve(device_results=True)).
         if W_init is None:
             W0_ext = jax.random.uniform(kw, (1, m, k), dtype=dtype, minval=0.1, maxval=0.9)
+        elif isinstance(W_init, jax.Array):
+            W0_ext = W_init.astype(dtype)[None]
         else:
             W0_ext = jnp.asarray(np.asarray(W_init, dtype=dtype))[None]
         if H_init is None:
             H0 = jax.random.uniform(kh, (1, k, n), dtype=dtype, minval=0.1, maxval=0.9)
+        elif isinstance(H_init, jax.Array):
+            H0 = H_init.astype(dtype)[None]
         else:
             H0 = jnp.asarray(np.asarray(H_init, dtype=dtype))[None]
     else:

@@ -163,3 +163,20 @@ def test_device_results_identical_and_on_device():
     np.testing.assert_array_equal(c.W, np.asarray(d.W))
     np.testing.assert_array_equal(c.H, np.asarray(d.H))
     assert c.best_restart == d.best_restart
+
+
+def test_device_warm_start_matches_host_warm_start():
+    """W_init/H_init may be device arrays (e.g. a previous
+    solve(device_results=True)'s factors): no host round-trip, identical
+    trajectory to the equivalent numpy warm start."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    Y = (rng.random((50, 30)) < 0.4).astype(float)
+    W0 = rng.uniform(0.1, 0.9, (50, 4))
+    H0 = rng.uniform(0.1, 0.9, (4, 30))
+    a = solve(Y, 4, max_iter=25, W_init=W0, H_init=H0)
+    b = solve(Y, 4, max_iter=25, W_init=jnp.asarray(W0), H_init=jnp.asarray(H0))
+    np.testing.assert_array_equal(a.W, b.W)
+    np.testing.assert_array_equal(a.H, b.H)
+    np.testing.assert_array_equal(np.asarray(a.losses), np.asarray(b.losses))
