@@ -153,3 +153,20 @@ def test_gspmd_return_all_matches_plain(mesh):
     np.testing.assert_array_equal(
         sharded.extras["all_n_iter"], plain.extras["all_n_iter"]
     )
+
+
+def test_mesh_device_results_identical(mesh):
+    """device_results=True on the mesh (GSPMD and shard_map-Pallas) paths:
+    factors stay jax arrays, values bit-match the host packaging."""
+    X = _toy(seed=6)
+    for extra in ({}, {"backend": "pallas", "pallas_interpret": True,
+                       "block_m": 128, "block_n": 128, "dtype": "float32"}):
+        a = solve(X, 4, max_iter=40, random_state=0, mesh=mesh, **extra)
+        b = solve(X, 4, max_iter=40, random_state=0, mesh=mesh,
+                  device_results=True, **extra)
+        assert isinstance(b.W, jax.Array) and isinstance(b.H, jax.Array)
+        np.testing.assert_array_equal(a.W, np.asarray(b.W))
+        np.testing.assert_array_equal(a.H, np.asarray(b.H))
+        np.testing.assert_array_equal(
+            np.asarray(a.losses), np.asarray(b.losses))
+        assert a.n_iter == b.n_iter
