@@ -28,7 +28,12 @@ try:
 except ImportError:  # pragma: no cover
     __version__ = "0.0.0.dev0"
 from .models.estimator import NBMF, NBMFMM
-from .ops.packed import PackedMatrix, pack_matrix, pack_matrix_chunked
+from .ops.packed import (
+    PackedMatrix,
+    pack_matrix,
+    pack_matrix_chunked,
+    pack_matrix_sparse,
+)
 from .solver.driver import SolverResult, nbmf_mm_solver, solve
 from .utils.cache import maybe_enable_compilation_cache as _maybe_cache
 
@@ -46,5 +51,6 @@ __all__ = [
     "PackedMatrix",
     "pack_matrix",
     "pack_matrix_chunked",
+    "pack_matrix_sparse",
     "__version__",
 ]

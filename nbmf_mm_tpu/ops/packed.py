@@ -36,7 +36,13 @@ import numpy as np
 
 from . import pallas_sweep as ps
 
-__all__ = ["PackedMatrix", "pack_matrix", "pack_matrix_chunked", "plan_packing"]
+__all__ = [
+    "PackedMatrix",
+    "pack_matrix",
+    "pack_matrix_chunked",
+    "pack_matrix_sparse",
+    "plan_packing",
+]
 
 
 @dataclass(frozen=True)
@@ -183,3 +189,45 @@ def pack_matrix_chunked(
             parts.append(pack_dev(Cd, pack_bm))
     words = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return PackedMatrix(words=words, shape=(m, n), block_m=pack_bm)
+
+
+def pack_matrix_sparse(
+    Y,
+    k: int,
+    *,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    chunk_rows: Optional[int] = None,
+) -> PackedMatrix:
+    """Pack a scipy.sparse binary matrix without a full dense staging.
+
+    The common at-scale source of binary data is a sparse matrix (user-item
+    interactions — e.g. the paper's lastfm matrix is 3% dense); its dense
+    f32 form is what blows the memory ceiling that bitpacking removes.
+    This builder densifies only ``chunk_rows``-row slices (uint8, transient)
+    on the way into the host packer, so peak extra memory is one chunk +
+    the words (1/32 the dense f32 matrix), and the data crosses the
+    host-device link packed.
+
+    Stored values must be exactly 0 or 1 (explicit zeros are fine);
+    anything else raises — the ``solve(packed=...)`` binaryness contract.
+    """
+    import scipy.sparse as sp
+
+    if not sp.issparse(Y):
+        raise TypeError(f"pack_matrix_sparse expects a scipy.sparse matrix, got {type(Y)}")
+    Yr = Y.tocsr()  # canonicalizes .data across formats (lil/dia/bsr/...)
+    if Yr.data.size and not bool(((Yr.data == 0) | (Yr.data == 1)).all()):
+        raise ValueError(
+            "pack_matrix_sparse requires exactly binary stored values"
+        )
+    m, n = Yr.shape
+
+    def row_chunk(a, b):
+        return np.asarray(Yr[a:b].toarray(), dtype=np.uint8)
+
+    return pack_matrix_chunked(
+        row_chunk, m, n, k,
+        chunk_rows=chunk_rows, block_m=block_m, block_n=block_n,
+        validate=False,  # stored values were validated above, exactly once
+    )

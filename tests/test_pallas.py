@@ -296,6 +296,40 @@ class TestPackedInput:
         with pytest.raises(ValueError, match="binary"):
             pack_matrix(Y + 0.5, k=3)
 
+    def test_pack_matrix_sparse_matches_dense(self):
+        """Sparse binary input packs bit-identically to the dense packer
+        (and no full dense copy of the matrix is ever built — chunked)."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import pack_matrix, pack_matrix_sparse, solve
+
+        Y = (np.random.default_rng(13).random((300, 200)) < 0.05).astype(
+            np.float32
+        )
+        S = sp.csr_matrix(Y)
+        pm_s = pack_matrix_sparse(S, 4, chunk_rows=64)
+        pm_d = pack_matrix(Y, 4)
+        np.testing.assert_array_equal(
+            np.asarray(pm_s.words), np.asarray(pm_d.words)
+        )
+        assert pm_s.block_m == pm_d.block_m and pm_s.shape == (300, 200)
+        # solves end-to-end like any PackedMatrix
+        r = solve(pm_s, 4, max_iter=8, random_state=0, dtype="float32",
+                  backend="pallas", pallas_interpret=True)
+        assert np.all(np.isfinite(np.asarray(r.losses)))
+        # contract errors
+        with pytest.raises(ValueError, match="binary"):
+            pack_matrix_sparse(sp.csr_matrix(Y * 3.0), 4)
+        with pytest.raises(TypeError, match="scipy.sparse"):
+            pack_matrix_sparse(Y, 4)
+        # explicit stored zeros are legal (still exactly binary)
+        S0 = S.copy().tolil()
+        S0[0, 0] = 0.0  # explicit zero entry
+        np.testing.assert_array_equal(
+            np.asarray(pack_matrix_sparse(S0.tocsr(), 4).words),
+            np.asarray(pm_d.words),
+        )
+
 
 class TestWTermsCancellation:
     """Regression for the W-pass cancellation identity (round-3 hardware
