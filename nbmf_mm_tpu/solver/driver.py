@@ -574,6 +574,11 @@ def solve(
       f32 — so the largest solvable single-chip problem is set by the
       packed footprint, not the dense staging.  Beta-dir, unmasked,
       single-chip, f32 (everything else raises).
+    - ``Y`` may be a ``scipy.sparse`` matrix: routings that would run the
+      single-chip packed Pallas path pack it directly from the sparse
+      structure (:func:`~nbmf_mm_tpu.ops.packed.pack_matrix_sparse` — no
+      dense staging anywhere); every other routing densifies it, exactly
+      as before.
     - ``device_results``: return ``W``/``H``/``losses`` as device
       ``jax.Array``s instead of host numpy (the final simplex safeguard
       runs on-device; only scalar ``n_iter``/``converged``/drift sync).
@@ -605,7 +610,39 @@ def solve(
     # which raises the single-chip ceiling to "what fits packed".  The
     # packed kernels are beta-dir/unmasked/single-chip; everything the
     # words cannot express is rejected up front.
-    from ..ops.packed import PackedMatrix
+    from ..ops.packed import PackedMatrix, pack_matrix_sparse
+
+    # scipy.sparse input: when the solve would run the single-chip packed
+    # Pallas path anyway (beta-dir, unmasked, f32, no mesh), pack straight
+    # from the sparse structure — the matrix is never staged dense, host or
+    # device.  Sparse binary user-item data is exactly the case whose dense
+    # f32 form blows the memory ceiling that bitpacking removes.  Any
+    # ineligible routing (mask, mesh, dir-beta, f64/bf16, jnp backend,
+    # non-binary values, stripe-ineligible shapes) densifies as before —
+    # unless packed=True made the demand explicit, in which case the
+    # packer's error propagates.
+    if not isinstance(Y, (np.ndarray, jax.Array, PackedMatrix)) and hasattr(
+        Y, "toarray"
+    ):
+        sparse_packable = (
+            orientation == "beta-dir"
+            and mask is None
+            and mesh is None
+            and packed is not False
+            and _resolve_dtype(dtype) == jnp.dtype(jnp.float32)
+            and _resolve_backend(backend, jnp.dtype(jnp.float32))
+        )
+        if sparse_packable:
+            try:
+                Y = pack_matrix_sparse(
+                    Y, int(n_components), block_m=block_m, block_n=block_n
+                )
+            except ValueError:
+                if packed is True:
+                    raise
+                Y = _densify(Y)
+        else:
+            Y = _densify(Y)
 
     packed_input = Y if isinstance(Y, PackedMatrix) else None
     if packed_input is not None:

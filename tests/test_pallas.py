@@ -330,6 +330,41 @@ class TestPackedInput:
             np.asarray(pm_d.words),
         )
 
+    def test_solve_sparse_autoroutes_to_packed(self):
+        """solve(scipy.sparse) on a packed-eligible routing is bit-identical
+        to solve(dense) — the sparse matrix goes straight to bit-plane
+        words; ineligible routings densify (same results as dense input)."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import solve
+
+        Y = (np.random.default_rng(7).random((300, 200)) < 0.08).astype(
+            np.float32
+        )
+        S = sp.csr_matrix(Y)
+        kw = dict(
+            max_iter=10, random_state=3, dtype="float32",
+            backend="pallas", pallas_interpret=True,
+        )
+        dense = solve(Y, 4, **kw)
+        sparse = solve(S, 4, **kw)
+        np.testing.assert_array_equal(dense.W, sparse.W)
+        np.testing.assert_array_equal(dense.H, sparse.H)
+        # packed=True on the sparse route enforces the binaryness contract
+        with pytest.raises(ValueError, match="binary"):
+            solve(S * 3.0, 4, packed=True, **kw)
+        # ineligible routing (mask) densifies and still matches dense input
+        mask = (np.random.default_rng(8).random(Y.shape) < 0.9).astype(
+            np.float32
+        )
+        dm = solve(Y, 4, mask=mask, **kw)
+        sm = solve(S, 4, mask=mask, **kw)
+        np.testing.assert_allclose(sm.W, dm.W, rtol=0, atol=0)
+        # f64 jnp routing (CPU parity regime) densifies too
+        d64 = solve(Y.astype(np.float64), 4, max_iter=10, random_state=3)
+        s64 = solve(S, 4, max_iter=10, random_state=3)
+        np.testing.assert_array_equal(d64.W, s64.W)
+
 
 class TestWTermsCancellation:
     """Regression for the W-pass cancellation identity (round-3 hardware
