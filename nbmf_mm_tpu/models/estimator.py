@@ -137,6 +137,12 @@ class NBMFMM(*_BASES):
         bit-identical results).  ``None`` (default) auto-enables when the
         data and mask are exactly 0/1; ``False`` disables; ``True``
         requires eligibility (raises otherwise).
+    solver_options : dict, optional
+        Extra keyword arguments forwarded verbatim to
+        :func:`~nbmf_mm_tpu.solver.driver.solve` by ``fit`` (e.g.
+        ``block_m``/``block_n`` tile sizes, ``pallas_interpret``,
+        ``device_results``).  Entries override the constructor-derived
+        arguments on key collision.
     use_numexpr, use_numba, projection_backend : ignored
         Legacy reference-README flags, accepted for drop-in compatibility.
     """
@@ -163,6 +169,7 @@ class NBMFMM(*_BASES):
         mesh_axes=("rows", "cols"),
         backend="auto",
         packed=None,
+        solver_options=None,
         use_numexpr=None,
         use_numba=None,
         projection_backend=None,
@@ -187,25 +194,38 @@ class NBMFMM(*_BASES):
         self.mesh_axes = mesh_axes
         self.backend = backend
         self.packed = packed
+        self.solver_options = solver_options
         self.use_numexpr = use_numexpr
         self.use_numba = use_numba
         self.projection_backend = projection_backend
 
     # ------------------------------------------------------------------ fit
     def fit(self, X, y=None, mask=None):
-        """Fit the NBMF model to binary (or [0,1]-valued) data ``X``."""
-        X = check_array(X, accept_sparse="csr", dtype=np.float64)
-        X = densify(X)
-        if not np.all((X >= 0) & (X <= 1)):
-            raise ValueError("X must be binary")
+        """Fit the NBMF model to binary (or [0,1]-valued) data ``X``.
+
+        ``X`` may also be a :class:`~nbmf_mm_tpu.ops.packed.PackedMatrix`
+        (binary by construction; ``solve`` enforces the packed contract) or
+        a ``scipy.sparse`` matrix — sparse input is passed through to
+        ``solve`` un-densified, where packed-eligible routings bitpack it
+        straight from the sparse structure and every other routing
+        densifies it, with results identical to dense input either way.
+        """
+        from ..ops.packed import PackedMatrix
+
+        if isinstance(X, PackedMatrix):
+            pass  # bit-plane words are exactly binary; nothing to validate
+        else:
+            X = check_array(X, accept_sparse="csr", dtype=np.float64)
+            values = X.data if hasattr(X, "toarray") else X
+            if not np.all((values >= 0) & (values <= 1)):
+                raise ValueError("X must be binary")
 
         # Canonicalize and *store* the normalized orientation — tests rely on
         # the mutation (reference _base.py:94-95).
         orientation = self._normalize_orientation(self.orientation)
         self.orientation = orientation
 
-        result = solve(
-            X,
+        solve_kwargs = dict(
             n_components=self.n_components,
             max_iter=self.max_iter,
             tol=self.tol,
@@ -229,6 +249,8 @@ class NBMFMM(*_BASES):
             backend=getattr(self, "backend", "auto"),
             packed=getattr(self, "packed", None),
         )
+        solve_kwargs.update(getattr(self, "solver_options", None) or {})
+        result = solve(X, **solve_kwargs)
 
         self.W_ = result.W
         self.components_ = result.H

@@ -466,3 +466,64 @@ def test_precision_plumbing_all_paths():
     W2, _ = fold_in_fused(a.H, X, n_iter=5, interpret=True,
                           mxu_precision="highest")
     np.testing.assert_array_equal(W1, W2)
+
+
+class TestEstimatorPackedAndSparse:
+    """NBMF.fit accepts PackedMatrix and scipy.sparse inputs, matching the
+    dense fit bit-for-bit on every routing (solver_options forwards the
+    interpret/tile knobs to solve)."""
+
+    def test_fit_matches_dense_on_all_input_kinds(self):
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import NBMF, pack_matrix
+
+        Y = (np.random.default_rng(21).random((300, 200)) < 0.1).astype(
+            np.float32
+        )
+        opts = dict(
+            n_components=4, max_iter=10, random_state=5, dtype="float32",
+            backend="pallas", solver_options={"pallas_interpret": True},
+        )
+        md = NBMF(**opts).fit(Y)
+        ms = NBMF(**opts).fit(sp.csr_matrix(Y))
+        mp = NBMF(**opts).fit(pack_matrix(Y, 4))
+        for m in (ms, mp):
+            np.testing.assert_array_equal(md.W_, m.W_)
+            np.testing.assert_array_equal(md.components_, m.components_)
+            np.testing.assert_array_equal(
+                np.asarray(md.loss_curve_), np.asarray(m.loss_curve_)
+            )
+            assert m.n_iter_ == md.n_iter_
+
+    def test_fit_sparse_f64_matches_dense(self):
+        """Ineligible routing (f64 CPU default): sparse densifies inside
+        solve and the fit is bit-identical to dense input."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import NBMF
+
+        Y = (np.random.default_rng(22).random((60, 40)) < 0.3).astype(float)
+        md = NBMF(n_components=3, max_iter=15, random_state=1).fit(Y)
+        ms = NBMF(n_components=3, max_iter=15, random_state=1).fit(
+            sp.csr_matrix(Y)
+        )
+        np.testing.assert_array_equal(md.W_, ms.W_)
+        np.testing.assert_array_equal(md.components_, ms.components_)
+
+    def test_fit_input_contract_errors(self):
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import NBMF, pack_matrix
+
+        Y = (np.random.default_rng(23).random((128, 128)) < 0.2).astype(
+            np.float32
+        )
+        with pytest.raises(ValueError, match="binary"):
+            NBMF(n_components=3).fit(sp.csr_matrix(Y * 2.0))
+        pm = pack_matrix(Y, 3)
+        with pytest.raises(ValueError, match="mask"):
+            NBMF(
+                n_components=3, dtype="float32", backend="pallas",
+                solver_options={"pallas_interpret": True},
+            ).fit(pm, mask=np.ones_like(Y))
