@@ -509,18 +509,33 @@ class FoldInServer:
     def transform(self, X, mask=None):
         """Fold in new rows; returns ``(W, per_row_loglik)`` as numpy arrays.
 
-        Requests larger than the top bucket are chunked.
+        Requests larger than the top bucket are chunked.  ``X``/``mask``
+        may be ``scipy.sparse`` (the common shape of at-scale serving
+        batches): rows densify one chunk at a time, so peak host memory is
+        one bucket's dense staging — and exactly-binary sparse chunks then
+        cross the host-device link bitpacked like any other chunk.
         """
-        X = densify(X)
+        sparse_in = hasattr(X, "toarray") and not isinstance(X, np.ndarray)
+        X = X.tocsr() if sparse_in else densify(X)
         if mask is not None:
-            mask = densify(mask)
+            mask_sparse = hasattr(mask, "toarray") and not isinstance(
+                mask, np.ndarray
+            )
+            mask = mask.tocsr() if mask_sparse else densify(mask)
+        else:
+            mask_sparse = False
         if X.shape[0] == 0:  # empty batch: well-defined empty result
             return (np.zeros((0, self.k)), np.zeros((0,)))
         top = self.buckets[-1]
         Ws, Ss = [], []
         for start in range(0, X.shape[0], top):
             sl = slice(start, start + top)
-            W, s = self._serve_chunk(X[sl], None if mask is None else mask[sl])
+            Xc = X[sl].toarray() if sparse_in else X[sl]
+            if mask is None:
+                mc = None
+            else:
+                mc = mask[sl].toarray() if mask_sparse else mask[sl]
+            W, s = self._serve_chunk(Xc, mc)
             Ws.append(np.asarray(W))
             Ss.append(np.asarray(s))
         return np.concatenate(Ws, axis=0), np.concatenate(Ss, axis=0)

@@ -304,3 +304,31 @@ def test_accepts_solver_result_device_handoff():
     W_np, s_np = srv_np.transform(Xnew)
     np.testing.assert_array_equal(W_dev, W_np)
     np.testing.assert_array_equal(s_dev, s_np)
+
+
+def test_sparse_request_batches_match_dense(model):
+    """scipy.sparse request batches densify per chunk and produce results
+    identical to dense input — on both the XLA and fused-kernel paths,
+    masked and unmasked, including chunking past the top bucket."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    Xnew = (rng.random((21, 40)) < 0.15).astype(float)
+    mask = (rng.random((21, 40)) < 0.8).astype(float)
+    S, M = sp.csr_matrix(Xnew), sp.csr_matrix(mask)
+    for kw in (
+        dict(backend="jnp"),
+        dict(backend="pallas", pallas_interpret=True),
+    ):
+        srv = FoldInServer(model, buckets=(4, 8), **kw)
+        Wd, sd = srv.transform(Xnew)
+        Ws, ss = srv.transform(S)
+        np.testing.assert_array_equal(Wd, Ws)
+        np.testing.assert_array_equal(sd, ss)
+        Wdm, sdm = srv.transform(Xnew, mask=mask)
+        Wsm, ssm = srv.transform(S, mask=M)
+        np.testing.assert_array_equal(Wdm, Wsm)
+        np.testing.assert_array_equal(sdm, ssm)
+    # empty sparse batch
+    W0, s0 = srv.transform(sp.csr_matrix((0, 40)))
+    assert W0.shape == (0, 4) and s0.shape == (0,)
