@@ -153,8 +153,66 @@ def _time_variant(fn, args, kw):
     return 1.0 / slope, losses
 
 
+def _wait_for_device():
+    """Bounded retry for the tunneled-TPU relay: a dead relay fails backend
+    init instantly (`RuntimeError: Unable to initialize backend 'axon'`),
+    and nothing in-VM can restart it — but outages are often transient, so
+    probe in a CLEAN subprocess (backend-init failures can stick to a
+    process) every 30 s for up to NBMF_BENCH_WAIT_DEVICE_S (default 900)
+    before letting the real run proceed/fail.  A probe that *hangs* is not
+    retried: a half-dead relay is not improved by piling probes onto it.
+    """
+    import subprocess
+
+    timeout_s = float(os.environ.get("NBMF_BENCH_WAIT_DEVICE_S", "900"))
+    deadline = time.time() + timeout_s
+    attempt = 0
+    while True:
+        try:
+            # Forcing a platform needs the env var AND the config update
+            # (the axon sitecustomize may pre-import jax) — mirror whatever
+            # platform this process was asked to run on.
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "p = os.environ.get('JAX_PLATFORMS')\n"
+                 "_ = p and jax.config.update('jax_platforms', p)\n"
+                 "jax.devices()"],
+                capture_output=True, timeout=240,
+            )
+            err = probe.stderr.decode(errors="replace")[-2000:]
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            err, ok = "device probe hung >240 s\n", False
+        if ok:
+            if attempt:
+                sys.stderr.write(f"bench: device back after {attempt} retries\n")
+            return
+        attempt += 1
+        if time.time() >= deadline:
+            # Out of patience: let the real run try (and fail loudly with
+            # its own error if the relay is still gone).
+            sys.stderr.write(
+                f"bench: device still unavailable after {attempt} probes "
+                f"over {timeout_s:.0f}s; proceeding\n" + err
+            )
+            return
+        sys.stderr.write(
+            f"bench: device probe {attempt} failed; retrying in 30 s\n"
+        )
+        time.sleep(30)
+
+
 def main():
+    _wait_for_device()
     import jax
+
+    # Same both-places platform forcing as the probe (and conftest.py):
+    # with the relay down, backend discovery hangs without it even when
+    # JAX_PLATFORMS=cpu is in the environment.
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
     import jax.numpy as jnp
 
     from nbmf_mm_tpu.ops import pallas_sweep as ps
