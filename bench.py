@@ -183,7 +183,12 @@ def _wait_for_device():
             err = probe.stderr.decode(errors="replace")[-2000:]
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:
-            err, ok = "device probe hung >240 s\n", False
+            # A HUNG probe means the relay is half-dead, not down: killing
+            # more probes mid-backend-claim risks wedging the device lease
+            # (CLAUDE.md), so do NOT retry — proceed and let the real run
+            # take its one chance.
+            sys.stderr.write("bench: device probe hung >240 s; proceeding\n")
+            return
         if ok:
             if attempt:
                 sys.stderr.write(f"bench: device back after {attempt} retries\n")

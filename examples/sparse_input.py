@@ -51,9 +51,7 @@ cols = rng.integers(0, n, size=rows.size)
 S = sp.csr_matrix(
     (np.ones(rows.size, dtype=np.float32), (rows, cols)), shape=(m, n)
 )
-S.data[:] = 1.0  # dedupe collisions to exactly-binary
-S.sum_duplicates()
-S.data[:] = np.minimum(S.data, 1.0)
+S.data[:] = 1.0  # collisions summed at construction; rebinarize
 print(f"S: {S.shape}, {S.nnz} nonzeros ({S.nnz / (m * n):.1%} dense), "
       f"{S.data.nbytes + S.indices.nbytes + S.indptr.nbytes:,} bytes sparse "
       f"vs {4 * m * n:,} dense f32")

@@ -316,7 +316,13 @@ class NBMFMM(*_BASES):
         draw, so results match the XLA path to f32 kernel tolerance while
         the per-iteration ``(m, n)`` ratio temporaries stay in VMEM
         instead of round-tripping HBM (``score``/``perplexity`` inherit
-        this through their ``transform`` refit)."""
+        this through their ``transform`` refit).
+
+        Sparse ``X`` is densified whole (the seeded ``W0`` draw spans the
+        full batch, so chunking here would change results); for sparse
+        request batches at scale use
+        :class:`~nbmf_mm_tpu.models.serving.FoldInServer`, which accepts
+        ``scipy.sparse`` and stages one bucket-chunk at a time."""
         check_is_fitted(self, ["components_"])
         X = check_array(X, accept_sparse="csr", dtype=np.float64)
         X = densify(X)

@@ -216,7 +216,15 @@ def pack_matrix_sparse(
 
     if not sp.issparse(Y):
         raise TypeError(f"pack_matrix_sparse expects a scipy.sparse matrix, got {type(Y)}")
-    Yr = Y.tocsr()  # canonicalizes .data across formats (lil/dia/bsr/...)
+    Yr = Y.tocsr()  # normalizes .data layout across formats (lil/dia/bsr/...)
+    if not Yr.has_canonical_format:
+        # Duplicate entries SUM in the dense view (two stored 1.0s at one
+        # position are dense 2.0): canonicalize — on a copy; tocsr() on a
+        # CSR input returns it unchanged and the user's matrix must not be
+        # mutated — so the binaryness check below sees dense-equivalent
+        # values and non-binary sums are rejected, not silently packed.
+        Yr = Yr.copy()
+        Yr.sum_duplicates()
     if Yr.data.size and not bool(((Yr.data == 0) | (Yr.data == 1)).all()):
         raise ValueError(
             "pack_matrix_sparse requires exactly binary stored values"

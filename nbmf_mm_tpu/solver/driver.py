@@ -624,8 +624,20 @@ def solve(
     if not isinstance(Y, (np.ndarray, jax.Array, PackedMatrix)) and hasattr(
         Y, "toarray"
     ):
+        try:
+            import scipy.sparse as _sp
+
+            _is_scipy_sparse = _sp.issparse(Y)
+        except ImportError:  # pragma: no cover - scipy ships in the env
+            _is_scipy_sparse = False
+        # The predicate mirrors the PackedMatrix-input constraints validated
+        # just below (beta-dir / no mask / no mesh / f32 / Pallas) — keep the
+        # two in sync: a condition added there must be added here, or sparse
+        # input will pack onto a routing the packed path rejects.  Duck-typed
+        # non-scipy objects with .toarray() take the _densify path unchanged.
         sparse_packable = (
-            orientation == "beta-dir"
+            _is_scipy_sparse
+            and orientation == "beta-dir"
             and mask is None
             and mesh is None
             and packed is not False

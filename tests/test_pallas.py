@@ -329,6 +329,18 @@ class TestPackedInput:
             np.asarray(pack_matrix_sparse(S0.tocsr(), 4).words),
             np.asarray(pm_d.words),
         )
+        # non-canonical duplicate entries SUM in the dense view (two stored
+        # 1.0s at one position are dense 2.0) — must be rejected, not
+        # silently packed as bit 1; and the input must not be mutated.
+        Sd = sp.csr_matrix(
+            (np.ones(2, np.float32), np.zeros(2, np.int32),
+             np.array([0, 2] + [2] * 299, np.int32)),
+            shape=(300, 200),
+        )
+        assert not Sd.has_canonical_format
+        with pytest.raises(ValueError, match="binary"):
+            pack_matrix_sparse(Sd, 4)
+        assert Sd.nnz == 2 and not Sd.has_canonical_format  # unmutated
 
     def test_solve_sparse_autoroutes_to_packed(self):
         """solve(scipy.sparse) on a packed-eligible routing is bit-identical
