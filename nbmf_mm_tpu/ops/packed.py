@@ -38,11 +38,29 @@ from . import pallas_sweep as ps
 
 __all__ = [
     "PackedMatrix",
+    "csr_binary_canonical",
     "pack_matrix",
     "pack_matrix_chunked",
     "pack_matrix_sparse",
     "plan_packing",
 ]
+
+
+def csr_binary_canonical(S):
+    """CSR view of a scipy.sparse matrix with canonical (duplicate-summed)
+    data, or ``None`` if its dense-equivalent stored values are not exactly
+    0/1.  Never mutates the input: duplicate entries SUM in the dense view
+    (two stored 1.0s at one position are dense 2.0), so non-canonical
+    inputs canonicalize on a COPY before the binaryness check — non-binary
+    sums are rejected, not silently packed as one bit.
+    """
+    Sr = S.tocsr()  # normalizes .data layout across formats (lil/dia/bsr/...)
+    if not Sr.has_canonical_format:
+        Sr = Sr.copy()
+        Sr.sum_duplicates()
+    if Sr.data.size and not bool(((Sr.data == 0) | (Sr.data == 1)).all()):
+        return None
+    return Sr
 
 
 @dataclass(frozen=True)
@@ -216,16 +234,8 @@ def pack_matrix_sparse(
 
     if not sp.issparse(Y):
         raise TypeError(f"pack_matrix_sparse expects a scipy.sparse matrix, got {type(Y)}")
-    Yr = Y.tocsr()  # normalizes .data layout across formats (lil/dia/bsr/...)
-    if not Yr.has_canonical_format:
-        # Duplicate entries SUM in the dense view (two stored 1.0s at one
-        # position are dense 2.0): canonicalize — on a copy; tocsr() on a
-        # CSR input returns it unchanged and the user's matrix must not be
-        # mutated — so the binaryness check below sees dense-equivalent
-        # values and non-binary sums are rejected, not silently packed.
-        Yr = Yr.copy()
-        Yr.sum_duplicates()
-    if Yr.data.size and not bool(((Yr.data == 0) | (Yr.data == 1)).all()):
+    Yr = csr_binary_canonical(Y)
+    if Yr is None:
         raise ValueError(
             "pack_matrix_sparse requires exactly binary stored values"
         )

@@ -578,7 +578,11 @@ def solve(
       single-chip packed Pallas path pack it directly from the sparse
       structure (:func:`~nbmf_mm_tpu.ops.packed.pack_matrix_sparse` — no
       dense staging anywhere); every other routing densifies it, exactly
-      as before.
+      as before.  With a ``scipy.sparse`` ``mask`` as well (the recommender
+      shape: sparse interactions + sparse observed-entry mask), BOTH packed
+      operands build sparsely (``Ym = Y*mask``, ``Ym2 = mask - Ym``) and
+      the masked fit never stages dense either — results bit-identical to
+      the dense masked solve, both mask modes.
     - ``device_results``: return ``W``/``H``/``losses`` as device
       ``jax.Array``s instead of host numpy (the final simplex safeguard
       runs on-device; only scalar ``n_iter``/``converged``/drift sync).
@@ -610,7 +614,11 @@ def solve(
     # which raises the single-chip ceiling to "what fits packed".  The
     # packed kernels are beta-dir/unmasked/single-chip; everything the
     # words cannot express is rejected up front.
-    from ..ops.packed import PackedMatrix, pack_matrix_sparse
+    from ..ops.packed import (
+        PackedMatrix,
+        csr_binary_canonical,
+        pack_matrix_sparse,
+    )
 
     # scipy.sparse input: when the solve would run the single-chip packed
     # Pallas path anyway (beta-dir, unmasked, f32, no mesh), pack straight
@@ -621,6 +629,7 @@ def solve(
     # non-binary values, stripe-ineligible shapes) densifies as before —
     # unless packed=True made the demand explicit, in which case the
     # packer's error propagates.
+    sparse_masked = False  # Y AND mask scipy.sparse: pack Ym/Ym2 from sparse
     if not isinstance(Y, (np.ndarray, jax.Array, PackedMatrix)) and hasattr(
         Y, "toarray"
     ):
@@ -631,20 +640,19 @@ def solve(
         except ImportError:  # pragma: no cover - scipy ships in the env
             _is_scipy_sparse = False
         # The predicate mirrors the PackedMatrix-input constraints validated
-        # just below (beta-dir / no mask / no mesh / f32 / Pallas) — keep the
-        # two in sync: a condition added there must be added here, or sparse
-        # input will pack onto a routing the packed path rejects.  Duck-typed
+        # just below (beta-dir / no mesh / f32 / Pallas) — keep the two in
+        # sync: a condition added there must be added here, or sparse input
+        # will pack onto a routing the packed path rejects.  Duck-typed
         # non-scipy objects with .toarray() take the _densify path unchanged.
-        sparse_packable = (
+        sparse_base_ok = (
             _is_scipy_sparse
             and orientation == "beta-dir"
-            and mask is None
             and mesh is None
             and packed is not False
             and _resolve_dtype(dtype) == jnp.dtype(jnp.float32)
             and _resolve_backend(backend, jnp.dtype(jnp.float32))
         )
-        if sparse_packable:
+        if sparse_base_ok and mask is None:
             try:
                 Y = pack_matrix_sparse(
                     Y, int(n_components), block_m=block_m, block_n=block_n
@@ -653,6 +661,36 @@ def solve(
                 if packed is True:
                     raise
                 Y = _densify(Y)
+        elif sparse_base_ok and _sp.issparse(mask):
+            # Masked sparse (the recommender shape: huge sparse interactions
+            # + sparse observed-entry mask): BOTH packed operands are
+            # sparse-representable — Ym = Y*mask and Ym2 = mask - Ym
+            # (parity's complement is synthesized in-register; corrected's
+            # Yc aliases Ym2) — so the masked fit never stages dense either.
+            # Eligibility here; operand construction/packing further down.
+            Yb = csr_binary_canonical(Y)
+            Mb = csr_binary_canonical(mask)
+            from ..ops import pallas_sweep as _ps
+
+            _bm = block_m or _ps.DEFAULT_BLOCK
+            _bn = block_n or _ps.DEFAULT_BLOCK
+            _Mp = _ps.round_up(Y.shape[0], _ps._pick_block(Y.shape[0], _bm))
+            _Np = _ps.round_up(Y.shape[1], _ps._pick_block(Y.shape[1], _bn))
+            _can, _ = _ps.select_stripe(
+                int(n_components), _Mp, _Np, 2, packed=True
+            )
+            if Yb is not None and Mb is not None and _can:
+                Y, mask, sparse_masked = Yb, Mb, True
+            else:
+                if packed is True:
+                    raise ValueError(
+                        "packed=True with sparse data + sparse mask requires "
+                        "exactly binary stored values and stripe-eligible "
+                        "shapes"
+                        + ("" if _can else f" (k={n_components}, Mp={_Mp}, "
+                           f"Np={_Np} is not stripe-eligible)")
+                    )
+                Y = _densify(Y)  # mask densifies via _to_backend below
         else:
             Y = _densify(Y)
 
@@ -719,9 +757,9 @@ def solve(
             return A.astype(dtype)
         return np.asarray(A, dtype=dtype)
 
-    if packed_input is None:
+    if packed_input is None and not sparse_masked:
         Y = _to_backend(Y)
-    if mask is not None:
+    if mask is not None and not sparse_masked:
         mask = _to_backend(mask)
 
     # dir-beta == beta-dir on Y.T with factors swapped (reference
@@ -789,7 +827,10 @@ def solve(
     else:
         # Count host-side masks on the host — jnp.count_nonzero on a numpy
         # mask would ship the whole dense array to the device just to count.
-        if isinstance(mask, np.ndarray):
+        if sparse_masked:
+            # Canonical binary CSR: stored nonzeros ARE the observed count.
+            n_obs = jnp.array(mask.count_nonzero(), dtype=dtype)
+        elif isinstance(mask, np.ndarray):
             n_obs = jnp.array(np.count_nonzero(mask), dtype=dtype)
         else:
             n_obs = jnp.count_nonzero(mask).astype(dtype)
@@ -847,7 +888,15 @@ def solve(
             and isinstance(Y, np.ndarray)
             and (mask is None or isinstance(mask, np.ndarray))
         )
-        if host_side:
+        if sparse_masked:
+            # Both packed operands built sparsely (never dense): Ym = Y*mask;
+            # Ym2 = (1-Y)*mask == mask - Ym.  Canonical binary CSRs in, so
+            # both results are exactly binary by construction.  Packing to
+            # bit-plane words happens in the staging block below.
+            Ym = Y.multiply(mask).tocsr()
+            Ym2 = (mask - Ym).tocsr()
+            Yc = Ym2 if mask_mode == "corrected" else None
+        elif host_side:
             if mask is None:
                 Ym, Ym2, Yc = Y, None, None
             else:
@@ -1016,25 +1065,56 @@ def solve(
         W0p, H0p = pad_last(W0, Mp), pad_last(H0, Np)
 
         # ---- bitpacking (binary operands only; see solve() docstring) ----
-        can_pack, pack_bm = ps.select_stripe(
-            k, Mp, Np, 1 + (Ym2 is not None), packed=True
-        )
-        use_packed = (
-            packed is not False
-            and data_dtype is None  # explicit bf16 data mode wins over auto
-            and can_pack
-            # the operands the kernels stream must be exactly 0/1 — checks
-            # Ym/Ym2 (post-masking), not Y, so continuous values at
-            # *observed* entries are caught
-            and _exactly_binary(Ym)
-            and _exactly_binary(Ym2)
-        )
-        if packed is True and not use_packed:
-            raise ValueError(
-                "packed=True requires exactly binary data (and mask) and "
-                "stripe-eligible shapes"
+        if sparse_masked:
+            # Pre-gated in the sparse intercept (binary operands by
+            # construction, stripe geometry verified with the same
+            # bm/Mp/Np derivation): pack each sparse operand from row
+            # chunks — one transient dense chunk at a time, never the
+            # full matrix.
+            can_pack, pack_bm = ps.select_stripe(k, Mp, Np, 2, packed=True)
+            assert can_pack, "sparse-masked intercept must pre-check geometry"
+            use_packed = True
+
+            def _pk_sparse(S):
+                chunk = max(
+                    pack_bm, ((1 << 26) // max(Np, 1)) // pack_bm * pack_bm
+                )
+                parts = []
+                for start in range(0, Mp, chunk):
+                    stop = min(start + chunk, Mp)
+                    real = min(stop, m)
+                    C = np.zeros((stop - start, Np), dtype=np.uint8)
+                    if real > start:
+                        C[: real - start, :n] = S[start:real].toarray()
+                    parts.append(ps.pack_bits_host(C, pack_bm))
+                return jnp.asarray(
+                    np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                )
+
+            Ymp, Ym2p = _pk_sparse(Ym), _pk_sparse(Ym2)
+            Ycp = Ym2p if Yc is not None else None
+        else:
+            can_pack, pack_bm = ps.select_stripe(
+                k, Mp, Np, 1 + (Ym2 is not None), packed=True
             )
-        if use_packed and isinstance(Ym, np.ndarray):
+            use_packed = (
+                packed is not False
+                and data_dtype is None  # explicit bf16 data wins over auto
+                and can_pack
+                # the operands the kernels stream must be exactly 0/1 —
+                # checks Ym/Ym2 (post-masking), not Y, so continuous values
+                # at *observed* entries are caught
+                and _exactly_binary(Ym)
+                and _exactly_binary(Ym2)
+            )
+            if packed is True and not use_packed:
+                raise ValueError(
+                    "packed=True requires exactly binary data (and mask) and "
+                    "stripe-eligible shapes"
+                )
+        if sparse_masked:
+            pass  # operands already packed above
+        elif use_packed and isinstance(Ym, np.ndarray):
             # Host inputs + packing: pad and pack on the HOST so the data
             # crosses the host-device link as int32 bit-plane words — 1/32
             # the transfer bytes of the dense operands.

@@ -539,3 +539,86 @@ class TestEstimatorPackedAndSparse:
                 n_components=3, dtype="float32", backend="pallas",
                 solver_options={"pallas_interpret": True},
             ).fit(pm, mask=np.ones_like(Y))
+
+
+class TestSparseMaskedPacked:
+    """Sparse Y + sparse mask pack both operands straight from the sparse
+    structures (Ym = Y*mask, Ym2 = mask - Ym) — bit-identical to the dense
+    masked solve on the same routing; ineligible cases densify."""
+
+    def _data(self, m=300, n=200, seed=31):
+        rng = np.random.default_rng(seed)
+        Y = (rng.random((m, n)) < 0.1).astype(np.float32)
+        mask = (rng.random((m, n)) < 0.5).astype(np.float32)
+        return Y, mask
+
+    @pytest.mark.parametrize("mask_mode", ["parity", "corrected"])
+    def test_bit_identical_to_dense(self, mask_mode):
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import solve
+
+        Y, mask = self._data()
+        kw = dict(
+            max_iter=10, random_state=2, dtype="float32", mask_mode=mask_mode,
+            backend="pallas", pallas_interpret=True,
+        )
+        dense = solve(Y, 4, mask=mask, **kw)
+        sparse = solve(sp.csr_matrix(Y), 4, mask=sp.csr_matrix(mask), **kw)
+        np.testing.assert_array_equal(dense.W, sparse.W)
+        np.testing.assert_array_equal(dense.H, sparse.H)
+        np.testing.assert_array_equal(
+            np.asarray(dense.losses), np.asarray(sparse.losses)
+        )
+        assert dense.n_iter == sparse.n_iter
+
+    def test_restarts_and_estimator(self):
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import NBMF, solve
+
+        Y, mask = self._data(seed=32)
+        kw = dict(
+            max_iter=8, random_state=0, dtype="float32",
+            backend="pallas", pallas_interpret=True,
+        )
+        d = solve(Y, 3, mask=mask, n_init=3, **kw)
+        s = solve(sp.csr_matrix(Y), 3, mask=sp.csr_matrix(mask), n_init=3, **kw)
+        assert d.best_restart == s.best_restart
+        np.testing.assert_array_equal(d.W, s.W)
+        md = NBMF(n_components=3, max_iter=8, random_state=0, dtype="float32",
+                  backend="pallas",
+                  solver_options={"pallas_interpret": True})
+        ms = NBMF(n_components=3, max_iter=8, random_state=0, dtype="float32",
+                  backend="pallas",
+                  solver_options={"pallas_interpret": True})
+        md.fit(Y, mask=mask)
+        ms.fit(sp.csr_matrix(Y), mask=sp.csr_matrix(mask))
+        np.testing.assert_array_equal(md.W_, ms.W_)
+
+    def test_ineligible_and_contract(self):
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import solve
+
+        Y, mask = self._data(seed=33)
+        kw = dict(
+            max_iter=6, random_state=1, dtype="float32",
+            backend="pallas", pallas_interpret=True,
+        )
+        S, M = sp.csr_matrix(Y), sp.csr_matrix(mask)
+        # continuous (non-binary) sparse mask: densify fallback matches dense
+        Mw = M * 0.5
+        d = solve(Y, 3, mask=mask * 0.5, mask_mode="corrected", **kw)
+        s = solve(S, 3, mask=Mw, mask_mode="corrected", **kw)
+        np.testing.assert_array_equal(d.W, s.W)
+        # packed=True + non-binary sparse mask raises
+        with pytest.raises(ValueError, match="binary"):
+            solve(S, 3, mask=Mw, packed=True, **kw)
+        # all-zero sparse mask is rejected like a dense all-zero mask
+        with pytest.raises(ValueError, match="no observed entries"):
+            solve(S, 3, mask=sp.csr_matrix(Y.shape, dtype=np.float32), **kw)
+        # sparse Y + DENSE mask keeps the existing dense-staging path
+        d2 = solve(Y, 3, mask=mask, **kw)
+        s2 = solve(S, 3, mask=mask, **kw)
+        np.testing.assert_array_equal(d2.W, s2.W)
