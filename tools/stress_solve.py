@@ -161,6 +161,17 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         np.testing.assert_array_equal(a.W, b.W)
         np.testing.assert_array_equal(np.asarray(a.losses),
                                       np.asarray(b.losses))
+        # sparse-input equivalence: csr Y (+ csr mask) must land on the
+        # same routing family (sparse-packed, or densified where
+        # ineligible: dir-beta, non-binary) with results bit-identical to
+        # the dense input
+        import scipy.sparse as sp
+
+        Smask = None if mask is None else sp.csr_matrix(mask)
+        c = solve(sp.csr_matrix(Y), k, **{**kw, "mask": Smask})
+        np.testing.assert_array_equal(b.W, c.W)
+        np.testing.assert_array_equal(np.asarray(b.losses),
+                                      np.asarray(c.losses))
     return kw
 
 
