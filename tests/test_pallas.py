@@ -622,3 +622,18 @@ class TestSparseMaskedPacked:
         d2 = solve(Y, 3, mask=mask, **kw)
         s2 = solve(S, 3, mask=mask, **kw)
         np.testing.assert_array_equal(d2.W, s2.W)
+
+    def test_packed_true_stripe_ineligible_masked_sparse(self):
+        """packed=True must raise (not silently densify) when the masked
+        sparse geometry cannot run the packed stripe kernels."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import solve
+
+        Y = sp.random(128, 30000, density=0.001, format="csr", random_state=1)
+        Y.data[:] = 1.0
+        M = sp.random(128, 30000, density=0.01, format="csr", random_state=2)
+        M.data[:] = 1.0
+        with pytest.raises(ValueError, match="stripe-eligible"):
+            solve(Y, 256, mask=M, packed=True, max_iter=2, dtype="float32",
+                  backend="pallas", pallas_interpret=True)
