@@ -637,3 +637,38 @@ class TestSparseMaskedPacked:
         with pytest.raises(ValueError, match="stripe-eligible"):
             solve(Y, 256, mask=M, packed=True, max_iter=2, dtype="float32",
                   backend="pallas", pallas_interpret=True)
+
+    def test_warm_start_and_checkpoint_compose_with_packed_input(self):
+        """W_init/H_init warm starts and segmented checkpointed fits work on
+        PackedMatrix and sparse inputs just like dense (same routing)."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import NBMF, pack_matrix, solve
+        from nbmf_mm_tpu.utils.checkpoint import fit_checkpointed
+
+        Y = (np.random.default_rng(41).random((300, 200)) < 0.1).astype(
+            np.float32
+        )
+        pm = pack_matrix(Y, 4)
+        kw = dict(max_iter=6, random_state=0, dtype="float32",
+                  backend="pallas", pallas_interpret=True)
+        first = solve(pm, 4, **kw)
+        dense_first = solve(Y, 4, **kw)
+        # warm-start continuation on the packed input == dense continuation
+        cont_p = solve(pm, 4, W_init=first.W, H_init=first.H, **kw)
+        cont_d = solve(Y, 4, W_init=dense_first.W, H_init=dense_first.H, **kw)
+        np.testing.assert_array_equal(cont_p.W, cont_d.W)
+        np.testing.assert_array_equal(cont_p.H, cont_d.H)
+        # segmented checkpointed fit accepts sparse input end-to-end
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            m1 = NBMF(n_components=4, max_iter=9, random_state=0,
+                      dtype="float32", backend="pallas",
+                      solver_options={"pallas_interpret": True})
+            fitted = fit_checkpointed(
+                m1, sp.csr_matrix(Y), td + "/ck.npz", every=4
+            )
+            assert fitted.n_iter_ <= 9
+            assert np.all(np.isfinite(fitted.loss_curve_))
+            assert np.all(np.diff(np.asarray(fitted.loss_curve_)) <= 1e-5)
