@@ -582,7 +582,10 @@ def solve(
       shape: sparse interactions + sparse observed-entry mask), BOTH packed
       operands build sparsely (``Ym = Y*mask``, ``Ym2 = mask - Ym``) and
       the masked fit never stages dense either — results bit-identical to
-      the dense masked solve, both mask modes.
+      the dense masked solve, both mask modes.  The same holds with a
+      ``mesh``: the per-shard stripe words pack straight from the sparse
+      structures (``solver.sharded.pack_words_for_mesh``), so the
+      MULTI-chip ceiling is set by the packed footprint too.
     - ``device_results``: return ``W``/``H``/``losses`` as device
       ``jax.Array``s instead of host numpy (the final simplex safeguard
       runs on-device; only scalar ``n_iter``/``converged``/drift sync).
@@ -630,6 +633,7 @@ def solve(
     # unless packed=True made the demand explicit, in which case the
     # packer's error propagates.
     sparse_masked = False  # Y AND mask scipy.sparse: pack Ym/Ym2 from sparse
+    sparse_mesh = False  # sparse operands + mesh: pre-packed per-shard words
     if not isinstance(Y, (np.ndarray, jax.Array, PackedMatrix)) and hasattr(
         Y, "toarray"
     ):
@@ -647,12 +651,53 @@ def solve(
         sparse_base_ok = (
             _is_scipy_sparse
             and orientation == "beta-dir"
-            and mesh is None
             and packed is not False
             and _resolve_dtype(dtype) == jnp.dtype(jnp.float32)
             and _resolve_backend(backend, jnp.dtype(jnp.float32))
         )
-        if sparse_base_ok and mask is None:
+        if sparse_base_ok and mesh is not None:
+            # Sparse + mesh (shard_map-Pallas fast path): pack the per-shard
+            # stripe words straight from the sparse structures
+            # (solver.sharded.pack_words_for_mesh) — the data never stages
+            # dense on host or device, so the MULTI-chip ceiling is set by
+            # the packed footprint too.  Ineligible (non-binary values,
+            # dense or non-sparse mask, per-shard geometry) densifies.
+            from .sharded import pack_words_for_mesh
+
+            sp_mask_ok = mask is None or _sp.issparse(mask)
+            Yb = csr_binary_canonical(Y) if sp_mask_ok else None
+            Mb = (
+                csr_binary_canonical(mask)
+                if (sp_mask_ok and mask is not None)
+                else None
+            )
+            _ok = Yb is not None and (mask is None or Mb is not None)
+            if _ok:
+                try:
+                    rows_ax, cols_ax = mesh_axes
+                    from ..ops import pallas_sweep as _ps
+
+                    sparse_words = pack_words_for_mesh(
+                        Yb, Mb,
+                        mesh=mesh, mesh_axes=mesh_axes,
+                        n_components=int(n_components),
+                        block_m=block_m or _ps.DEFAULT_BLOCK,
+                        block_n=block_n or _ps.DEFAULT_BLOCK,
+                        mask_mode=mask_mode,
+                    )
+                except ValueError:
+                    _ok = False
+            if _ok:
+                Y, mask, sparse_mesh = Yb, Mb, True
+            else:
+                if packed is True:
+                    raise ValueError(
+                        "packed=True with sparse input on a mesh requires "
+                        "exactly binary stored values, a sparse (or absent) "
+                        "mask, and packed-eligible per-shard stripe geometry"
+                    )
+                Y = _densify(Y)  # mask densifies via _to_backend below
+        elif sparse_base_ok and mask is None:
             try:
                 Y = pack_matrix_sparse(
                     Y, int(n_components), block_m=block_m, block_n=block_n
@@ -757,9 +802,9 @@ def solve(
             return A.astype(dtype)
         return np.asarray(A, dtype=dtype)
 
-    if packed_input is None and not sparse_masked:
+    if packed_input is None and not (sparse_masked or sparse_mesh):
         Y = _to_backend(Y)
-    if mask is not None and not sparse_masked:
+    if mask is not None and not (sparse_masked or sparse_mesh):
         mask = _to_backend(mask)
 
     # dir-beta == beta-dir on Y.T with factors swapped (reference
@@ -827,7 +872,7 @@ def solve(
     else:
         # Count host-side masks on the host — jnp.count_nonzero on a numpy
         # mask would ship the whole dense array to the device just to count.
-        if sparse_masked:
+        if sparse_masked or sparse_mesh:
             # Canonical binary CSR: stored nonzeros ARE the observed count.
             n_obs = jnp.array(mask.count_nonzero(), dtype=dtype)
         elif isinstance(mask, np.ndarray):
@@ -874,6 +919,8 @@ def solve(
                 "(backend='pallas', or 'auto' resolving to Pallas on TPU)"
             )
         Ym = Ym2 = Yc = None  # the data exists only as packed words
+    elif sparse_mesh:
+        Ym = Ym2 = Yc = None  # the data exists only as pre-packed words
     elif use_pallas and mesh is None:
         # Memory-frugal operand construction for the fused kernels: build
         # only the arrays the kernels actually read (the parity-mode
@@ -977,15 +1024,21 @@ def solve(
                 f"(k={k}, m_loc={Mp_s // mesh.shape[rows_ax]}, "
                 f"n_loc={Np_s // mesh.shape[cols_ax]}) is not stripe-eligible"
             )
-        want_pack = packed is not False and data_dtype is None and geom_ok
-        binary_ok = (
-            want_pack and _exactly_binary(Ym) and _exactly_binary(Ym2)
-        )
-        if packed is True and not binary_ok:
-            raise ValueError(
-                "packed=True requires exactly binary data (and mask)"
+        if sparse_mesh:
+            # Operands already exist only as pre-packed per-shard words
+            # (built in the sparse intercept); binaryness and geometry were
+            # validated there.
+            binary_ok = pk_sharded = True
+        else:
+            want_pack = packed is not False and data_dtype is None and geom_ok
+            binary_ok = (
+                want_pack and _exactly_binary(Ym) and _exactly_binary(Ym2)
             )
-        pk_sharded = binary_ok
+            if packed is True and not binary_ok:
+                raise ValueError(
+                    "packed=True requires exactly binary data (and mask)"
+                )
+            pk_sharded = binary_ok
         Wb, Hb, losses_b, n_iter_b, final_loss_b, done_b = solve_core_sharded(
             Ym, Ym2, Yc, W0, H0,
             jnp.array(alpha, dtype=dtype),
@@ -1006,6 +1059,7 @@ def solve(
             packed=pk_sharded,
             packed_required=packed is True,
             mxu_precision=mxu_precision,
+            packed_words=sparse_words if sparse_mesh else None,
         )
         best = int(jnp.argmin(final_loss_b)) if n_init > 1 else 0
         all_final = np.asarray(final_loss_b) if n_init > 1 else None

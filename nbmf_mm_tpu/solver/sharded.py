@@ -39,7 +39,84 @@ from ..ops import pallas_sweep as ps
 from ..ops.projection import project_columns_simplex_duchi
 from ..ops.updates import clip_upper_interior
 
-__all__ = ["solve_core_sharded", "plan_shard_padding"]
+__all__ = ["solve_core_sharded", "plan_shard_padding", "pack_words_for_mesh"]
+
+
+def pack_words_for_mesh(
+    Y,
+    mask,
+    *,
+    mesh: Mesh,
+    mesh_axes: Tuple[str, str],
+    n_components: int,
+    block_m: int,
+    block_n: int,
+    mask_mode: str = "parity",
+):
+    """Build the ``(Ymw, Ym2w, Ycw)`` pre-packed word arrays for
+    :func:`solve_core_sharded` ``packed_words=`` from ``scipy.sparse``
+    operands — chunk-by-chunk, so no dense copy of the matrix ever exists.
+
+    ``Y`` (and ``mask``, if given) must be canonical exactly-binary CSR
+    (see ``ops.packed.csr_binary_canonical``; the solver driver validates
+    before calling).  The three operands follow the sharded padding
+    contract (module docstring): ``Ym = Y*mask``, ``Ym2 = (1-Y)*mask``,
+    ``Yc`` = parity complement ``1 - Ym`` (zero pads) or the corrected
+    alias ``Ym2`` — only ``Ym``/``Ym2`` are sparse; the complements are
+    built one transient row-chunk at a time.  Raises when the per-shard
+    stripe geometry cannot run the packed kernels (there is no dense
+    fallback for words).  Returns ``(Ymw, Ym2w, Ycw)`` as int32 numpy
+    arrays of shape ``(Mp//32, Np)``.
+    """
+    rows, cols = mesh_axes
+    n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
+    m, n = Y.shape
+    Mp, _ = plan_shard_padding(m, n_rows, block_m)
+    Np, _ = plan_shard_padding(n, n_cols, block_n)
+    m_loc, n_loc = Mp // n_rows, Np // n_cols
+    ok, pack_bm = ps.select_stripe(
+        int(n_components), m_loc, n_loc, 3, packed=True
+    )
+    if not ok or m_loc % pack_bm != 0:
+        raise ValueError(
+            f"per-shard geometry (k={n_components}, m_loc={m_loc}, "
+            f"n_loc={n_loc}) is not stripe-eligible for the packed kernels"
+        )
+    if mask is not None:
+        Ym_s = Y.multiply(mask).tocsr()
+        Ym2_s = (mask - Ym_s).tocsr()
+    else:
+        Ym_s, Ym2_s = Y, None
+
+    chunk = max(pack_bm, ((1 << 26) // max(Np, 1)) // pack_bm * pack_bm)
+    wm, wm2, wc = [], [], []
+    corrected = mask is not None and mask_mode == "corrected"
+    for start in range(0, Mp, chunk):
+        stop = min(start + chunk, Mp)
+        real = min(stop, m)
+        rows_c = stop - start
+        Cym = np.zeros((rows_c, Np), dtype=np.uint8)
+        if real > start:
+            Cym[: real - start, :n] = Ym_s[start:real].toarray()
+        wm.append(ps.pack_bits_host(Cym, pack_bm))
+        Cym2 = np.zeros((rows_c, Np), dtype=np.uint8)
+        if real > start:
+            if Ym2_s is not None:
+                Cym2[: real - start, :n] = Ym2_s[start:real].toarray()
+            else:  # unmasked complement, real region only (pads stay zero)
+                Cym2[: real - start, :n] = 1 - Cym[: real - start, :n]
+        w2 = ps.pack_bits_host(Cym2, pack_bm)
+        wm2.append(w2)
+        if corrected or mask is None:
+            # corrected aliases Ym2; unmasked complement == Ym2 too
+            wc.append(w2)
+        else:  # parity: Yc = 1 - Ym in the real region, zero pads
+            Cyc = np.zeros((rows_c, Np), dtype=np.uint8)
+            if real > start:
+                Cyc[: real - start, :n] = 1 - Cym[: real - start, :n]
+            wc.append(ps.pack_bits_host(Cyc, pack_bm))
+    cat = lambda ws: np.concatenate(ws, axis=0) if len(ws) > 1 else ws[0]
+    return cat(wm), cat(wm2), cat(wc)
 
 
 def plan_shard_padding(dim: int, n_shards: int, block: int) -> Tuple[int, int]:
@@ -81,6 +158,7 @@ def solve_core_sharded(
     packed: bool = False,
     packed_required: bool = False,
     mxu_precision=None,
+    packed_words=None,
 ):
     """Run the shifted-loss 2-pass loop with per-shard Pallas kernels.
 
@@ -89,6 +167,15 @@ def solve_core_sharded(
     packed stripe kernels per shard — the collectives are unchanged (they
     move ``(k, ·)`` factor terms, never data).  Falls back to the dense
     tiled kernels when the local stripe geometry doesn't fit VMEM.
+
+    ``packed_words`` (sparse-ingestion fast path): a ``(Ymw, Ym2w, Ycw)``
+    tuple of pre-packed int32 bit-plane arrays shaped ``(Mp//32, Np)`` in
+    the stripe-local layout of exactly the per-shard geometry this
+    function derives (``pack_words_for_mesh`` builds them from
+    ``scipy.sparse`` operands chunk-by-chunk).  Dense ``Ym``/``Ym2``/``Yc``
+    are then ignored (pass ``None``) — the data never exists dense, host
+    or device.  Requires ``packed=True``-eligible local geometry (raises
+    otherwise: the words cannot run the dense kernels).
 
     Inputs are *unpadded* device-agnostic arrays in the internal layout with
     a leading restart axis: ``W0 (b, k, m)`` unit-column-sum, ``H0 (b, k,
@@ -99,23 +186,13 @@ def solve_core_sharded(
     """
     rows, cols = mesh_axes
     n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
-    m, n = Ym.shape
+    m, n = (m_real, n_real) if packed_words is not None else Ym.shape
     _, k, _ = W0.shape
     dtype = W0.dtype
 
     Mp, bm = plan_shard_padding(m, n_rows, block_m)
     Np, bn = plan_shard_padding(n, n_cols, block_n)
 
-    def pad_mn(A):
-        return jnp.pad(A, ((0, Mp - m), (0, Np - n)))
-
-    Ymp = pad_mn(Ym)
-    Ym2p = pad_mn(Ym2)
-    # Parity mode aliases Yc == 1 - Ym *inside the real region*; pads must be
-    # zero, so always materialize the complement explicitly here.
-    Ycp = pad_mn(Yc)
-    if data_dtype is not None:
-        Ymp, Ym2p, Ycp = (A.astype(data_dtype) for A in (Ymp, Ym2p, Ycp))
     W0p = jnp.pad(W0, ((0, 0), (0, 0), (0, Mp - m)))
     H0p = jnp.pad(H0, ((0, 0), (0, 0), (0, Np - n)))
     Vn = (jnp.arange(Np)[None, :] < n_real).astype(dtype)  # (1, Np)
@@ -123,9 +200,6 @@ def solve_core_sharded(
     dsh = NamedSharding(mesh, P(rows, cols))
     wsh = NamedSharding(mesh, P(None, None, rows))
     hsh = NamedSharding(mesh, P(None, None, cols))
-    Ymp = jax.device_put(Ymp, dsh)
-    Ym2p = jax.device_put(Ym2p, dsh)
-    Ycp = jax.device_put(Ycp, dsh)
     W0p = jax.device_put(W0p, wsh)
     H0p = jax.device_put(H0p, hsh)
     Vn = jax.device_put(Vn, NamedSharding(mesh, P(None, cols)))
@@ -139,23 +213,63 @@ def solve_core_sharded(
     # geometry to fit.  Local m is 128-aligned by plan_shard_padding, so a
     # 128-row stripe always divides it.
     use_packed, pack_bm = False, None
-    if packed:
+    if packed or packed_words is not None:
         use_packed, pack_bm = ps.select_stripe(k, m_loc, n_loc, 3, packed=True)
-    if packed_required and not use_packed:
-        # solve(packed=True): an explicit demand must not silently run dense.
+    if (packed_required or packed_words is not None) and not use_packed:
+        # solve(packed=True): an explicit demand must not silently run dense
+        # (and pre-packed words CANNOT run dense — there is no dense data).
         raise ValueError(
             "packed=True: the per-device local stripe geometry "
             f"(k={k}, m_loc={m_loc}, n_loc={n_loc}) is not stripe-eligible"
         )
 
+    if packed_words is not None:
+        if m_loc % pack_bm != 0:  # pragma: no cover - 128-aligned local dims
+            raise ValueError(
+                f"m_loc={m_loc} is not a multiple of the stripe height "
+                f"{pack_bm}: per-shard word blocks would split a stripe"
+            )
+        want = (Mp // ps.PACKED_WORD_BITS, Np)
+        for name, Aw in zip(("Ym", "Ym2", "Yc"), packed_words):
+            if tuple(Aw.shape) != want:
+                raise ValueError(
+                    f"packed_words[{name}] has shape {tuple(Aw.shape)}, "
+                    f"expected {want} (pack with pack_words_for_mesh for "
+                    "this mesh/shape/rank)"
+                )
+        Ymp, Ym2p, Ycp = (
+            jax.device_put(jnp.asarray(Aw), dsh) for Aw in packed_words
+        )
+    else:
+        def pad_mn(A):
+            return jnp.pad(A, ((0, Mp - m), (0, Np - n)))
+
+        Ymp = pad_mn(Ym)
+        Ym2p = pad_mn(Ym2)
+        # Parity mode aliases Yc == 1 - Ym *inside the real region*; pads
+        # must be zero, so always materialize the complement explicitly.
+        Ycp = pad_mn(Yc)
+        if data_dtype is not None:
+            Ymp, Ym2p, Ycp = (A.astype(data_dtype) for A in (Ymp, Ym2p, Ycp))
+        Ymp = jax.device_put(Ymp, dsh)
+        Ym2p = jax.device_put(Ym2p, dsh)
+        Ycp = jax.device_put(Ycp, dsh)
+
+    prepacked = packed_words is not None
+
     def local_loop(Ym_l, Ym2_l, Yc_l, W_b0, H_b0, Vn_l, alpha, beta, tol, n_obs):
         if use_packed:
             # Parity mode keeps THREE distinct binary operands (Ym = Y*mask,
             # Ym2 = (1-Y)*mask, Yc = 1-Ym with zero pads); pack each local
-            # block once, outside the while_loop.
-            Ymp_l = ps.pack_bits(Ym_l, pack_bm)
-            Ym2p_l = ps.pack_bits(Ym2_l, pack_bm)
-            Ycp_l = ps.pack_bits(Yc_l, pack_bm)
+            # block once, outside the while_loop — unless the caller shipped
+            # pre-packed words (sparse ingestion), which ARE the local
+            # blocks already (stripe-aligned shard boundaries).
+            if prepacked:
+                Ymp_l, Ym2p_l, Ycp_l = Ym_l, Ym2_l, Yc_l
+            else:
+                Ymp_l = ps.pack_bits(Ym_l, pack_bm)
+                Ym2p_l = ps.pack_bits(Ym2_l, pack_bm)
+                Ycp_l = ps.pack_bits(Yc_l, pack_bm)
             hloss_local = lambda W_l, H_l: ps.hloss_terms_packed(
                 W_l, H_l, Ymp_l, Ycp_l, eps=eps, block_m=pack_bm,
                 interpret=interpret, precision=mxu_precision,

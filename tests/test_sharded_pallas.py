@@ -148,3 +148,81 @@ def test_sharded_pallas_return_all(mesh):
         sharded.extras["all_n_iter"], plain.extras["all_n_iter"]
     )
     assert sharded.best_restart == plain.best_restart
+
+
+class TestSparseMeshPrepacked:
+    """scipy.sparse input on the mesh fast path: per-shard stripe words are
+    packed straight from the sparse structure (pack_words_for_mesh) and
+    must be BIT-IDENTICAL to the mesh solve on the equivalent dense input
+    (same kernels, same words)."""
+
+    def _dense_kw(self):
+        return dict(
+            max_iter=12, random_state=0, backend="pallas",
+            pallas_interpret=True, block_m=128, block_n=128, **F32,
+        )
+
+    def test_unmasked_bit_identical(self, mesh):
+        import scipy.sparse as sp
+
+        Y = (np.random.default_rng(51).random((300, 200)) < 0.07).astype(
+            np.float32
+        )
+        kw = self._dense_kw()
+        d = solve(Y, 4, mesh=mesh, **kw)
+        s = solve(sp.csr_matrix(Y), 4, mesh=mesh, **kw)
+        assert d.n_iter == s.n_iter
+        np.testing.assert_array_equal(d.W, s.W)
+        np.testing.assert_array_equal(d.H, s.H)
+        np.testing.assert_array_equal(
+            np.asarray(d.losses), np.asarray(s.losses)
+        )
+
+    @pytest.mark.parametrize("mask_mode", ["parity", "corrected"])
+    def test_masked_bit_identical(self, mesh, mask_mode):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(52)
+        Y = (rng.random((300, 200)) < 0.07).astype(np.float32)
+        mask = (rng.random((300, 200)) < 0.5).astype(np.float32)
+        kw = dict(self._dense_kw(), mask_mode=mask_mode)
+        d = solve(Y, 4, mask=mask, mesh=mesh, **kw)
+        s = solve(
+            sp.csr_matrix(Y), 4, mask=sp.csr_matrix(mask), mesh=mesh, **kw
+        )
+        np.testing.assert_array_equal(d.W, s.W)
+        np.testing.assert_array_equal(d.H, s.H)
+        np.testing.assert_array_equal(
+            np.asarray(d.losses), np.asarray(s.losses)
+        )
+
+    def test_restarts_and_return_all(self, mesh):
+        import scipy.sparse as sp
+
+        Y = (np.random.default_rng(53).random((300, 200)) < 0.07).astype(
+            np.float32
+        )
+        kw = dict(self._dense_kw(), n_init=3, return_all=True)
+        d = solve(Y, 3, mesh=mesh, **kw)
+        s = solve(sp.csr_matrix(Y), 3, mesh=mesh, **kw)
+        assert d.best_restart == s.best_restart
+        np.testing.assert_array_equal(d.W, s.W)
+        np.testing.assert_array_equal(
+            d.extras["all_W"], s.extras["all_W"]
+        )
+
+    def test_ineligible_falls_back_and_contract(self, mesh):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(54)
+        Y = (rng.random((300, 200)) < 0.07).astype(np.float32)
+        S = sp.csr_matrix(Y)
+        # dense mask with sparse Y on a mesh: densify fallback, equal results
+        mask = (rng.random((300, 200)) < 0.6).astype(np.float32)
+        kw = self._dense_kw()
+        d = solve(Y, 3, mask=mask, mesh=mesh, **kw)
+        s = solve(S, 3, mask=mask, mesh=mesh, **kw)
+        np.testing.assert_allclose(s.W, d.W, atol=0)
+        # packed=True + non-binary sparse values raises
+        with pytest.raises(ValueError, match="binary"):
+            solve(S * 2.0, 3, mesh=mesh, packed=True, **kw)
