@@ -21,6 +21,22 @@ Public import surface mirrors the reference (``src/nbmf_mm/__init__.py:17``):
 ``NBMFMM``, ``NBMF``, ``nbmf_mm_solver`` — plus the richer :func:`solve`.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit JAX_PLATFORMS selection in jax.config as well: a
+    # sitecustomize that pre-imports jax (e.g. to register a remote-TPU
+    # PJRT plugin) can otherwise leave backend discovery probing dead
+    # plugins — observed to HANG ~25 min when the plugin's relay is down,
+    # even with JAX_PLATFORMS=cpu in the environment.  Same recipe as
+    # conftest.py; a no-op in ordinary environments.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - unknown platform strings etc.
+        pass
+
 try:
     # Written by setuptools_scm at build time (version_file in
     # pyproject.toml); the committed copy is a dev fallback.
