@@ -42,6 +42,7 @@ __all__ = [
     "pack_matrix",
     "pack_matrix_chunked",
     "pack_matrix_sparse",
+    "pack_sparse_words",
     "plan_packing",
 ]
 
@@ -207,6 +208,40 @@ def pack_matrix_chunked(
             parts.append(pack_dev(Cd, pack_bm))
     words = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return PackedMatrix(words=words, shape=(m, n), block_m=pack_bm)
+
+
+def pack_sparse_words(
+    S, Mp: int, Np: int, block_m: int, *, complement: bool = False
+) -> np.ndarray:
+    """Chunked sparse→stripe-words host packer: bit-identical to
+    ``pack_bits_host(padded_dense, block_m)`` on the ``(Mp, Np)``
+    zero-padded dense equivalent, built one transient row-chunk at a time.
+
+    ``complement=True`` packs ``1 - S`` over the real region (pads stay
+    zero) — the parity-mode/unmasked complement operand, which is dense as
+    a sparse matrix but free as bits.  The effective stripe is derived
+    exactly as the packers derive it (``_pick_block`` shrink), and chunk
+    heights are kept multiples of it so every chunk packs with the same
+    stripe as the whole matrix would.
+    """
+    m, n = S.shape
+    eff = ps._pick_block(Mp, block_m)
+    if eff % ps.PACKED_WORD_BITS or Mp % eff:
+        raise ValueError(
+            f"pack_sparse_words: stripe {block_m} (effective {eff}) does "
+            f"not divide Mp={Mp}"
+        )
+    chunk = max(eff, ((1 << 26) // max(Np, 1)) // eff * eff)
+    parts = []
+    for start in range(0, Mp, chunk):
+        stop = min(start + chunk, Mp)
+        real = min(stop, m)
+        C = np.zeros((stop - start, Np), dtype=np.uint8)
+        if real > start:
+            D = np.asarray(S[start:real].toarray(), dtype=np.uint8)
+            C[: real - start, :n] = (1 - D) if complement else D
+        parts.append(ps.pack_bits_host(C, eff))
+    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def pack_matrix_sparse(

@@ -655,46 +655,45 @@ def solve(
             and _resolve_dtype(dtype) == jnp.dtype(jnp.float32)
             and _resolve_backend(backend, jnp.dtype(jnp.float32))
         )
-        if sparse_base_ok and mesh is not None:
+        if sparse_base_ok and mesh is not None and not (
+            mask is None or _sp.issparse(mask)
+        ):
+            # Dense mask + sparse Y on a mesh: no sparse fast path exists,
+            # but the DENSE mesh route handles this fine (and itself honors
+            # packed=True) — densify rather than reject a solvable request.
+            Y = _densify(Y)
+        elif sparse_base_ok and mesh is not None:
             # Sparse + mesh (shard_map-Pallas fast path): pack the per-shard
             # stripe words straight from the sparse structures
             # (solver.sharded.pack_words_for_mesh) — the data never stages
             # dense on host or device, so the MULTI-chip ceiling is set by
-            # the packed footprint too.  Ineligible (non-binary values,
-            # dense or non-sparse mask, per-shard geometry) densifies.
-            from .sharded import pack_words_for_mesh
+            # the packed footprint too.  ONLY cheap eligibility checks run
+            # here (binaryness O(nnz), geometry O(1)); the packing itself —
+            # minutes of host work at flagship scale — happens in the mesh
+            # solve branch AFTER the argument validations (n_obs, init
+            # shapes, max_iter), so a bad argument never pays for it.
+            from ..ops import pallas_sweep as _ps
+            from .sharded import mesh_pack_geometry
 
-            sp_mask_ok = mask is None or _sp.issparse(mask)
-            Yb = csr_binary_canonical(Y) if sp_mask_ok else None
-            Mb = (
-                csr_binary_canonical(mask)
-                if (sp_mask_ok and mask is not None)
-                else None
+            Yb = csr_binary_canonical(Y)
+            Mb = csr_binary_canonical(mask) if mask is not None else None
+            geom_ok, _, _, _ = mesh_pack_geometry(
+                Y.shape[0], Y.shape[1], int(n_components),
+                mesh=mesh, mesh_axes=mesh_axes,
+                block_m=block_m or _ps.DEFAULT_BLOCK,
+                block_n=block_n or _ps.DEFAULT_BLOCK,
             )
-            _ok = Yb is not None and (mask is None or Mb is not None)
-            if _ok:
-                try:
-                    rows_ax, cols_ax = mesh_axes
-                    from ..ops import pallas_sweep as _ps
-
-                    sparse_words = pack_words_for_mesh(
-                        Yb, Mb,
-                        mesh=mesh, mesh_axes=mesh_axes,
-                        n_components=int(n_components),
-                        block_m=block_m or _ps.DEFAULT_BLOCK,
-                        block_n=block_n or _ps.DEFAULT_BLOCK,
-                        mask_mode=mask_mode,
-                    )
-                except ValueError:
-                    _ok = False
-            if _ok:
+            if Yb is not None and (mask is None or Mb is not None) and geom_ok:
                 Y, mask, sparse_mesh = Yb, Mb, True
             else:
+                # Ineligible the same way the dense mesh route would be
+                # (non-binary values, geometry): packed=True raises there
+                # too, so raising here keeps sparse == dense behavior.
                 if packed is True:
                     raise ValueError(
                         "packed=True with sparse input on a mesh requires "
-                        "exactly binary stored values, a sparse (or absent) "
-                        "mask, and packed-eligible per-shard stripe geometry"
+                        "exactly binary stored values and packed-eligible "
+                        "per-shard stripe geometry"
                     )
                 Y = _densify(Y)  # mask densifies via _to_backend below
         elif sparse_base_ok and mask is None:
@@ -1025,9 +1024,18 @@ def solve(
                 f"n_loc={Np_s // mesh.shape[cols_ax]}) is not stripe-eligible"
             )
         if sparse_mesh:
-            # Operands already exist only as pre-packed per-shard words
-            # (built in the sparse intercept); binaryness and geometry were
-            # validated there.
+            # Eligibility (binaryness, geometry) was validated in the sparse
+            # intercept; NOW do the deferred packing — every cheap argument
+            # validation has passed, so this host work cannot be wasted.
+            from .sharded import pack_words_for_mesh
+
+            sparse_words = pack_words_for_mesh(
+                Y, mask,
+                mesh=mesh, mesh_axes=mesh_axes, n_components=k,
+                block_m=block_m or ps.DEFAULT_BLOCK,
+                block_n=block_n or ps.DEFAULT_BLOCK,
+                mask_mode=mask_mode,
+            )
             binary_ok = pk_sharded = True
         else:
             want_pack = packed is not False and data_dtype is None and geom_ok
@@ -1125,27 +1133,13 @@ def solve(
             # bm/Mp/Np derivation): pack each sparse operand from row
             # chunks — one transient dense chunk at a time, never the
             # full matrix.
+            from ..ops.packed import pack_sparse_words
+
             can_pack, pack_bm = ps.select_stripe(k, Mp, Np, 2, packed=True)
             assert can_pack, "sparse-masked intercept must pre-check geometry"
             use_packed = True
-
-            def _pk_sparse(S):
-                chunk = max(
-                    pack_bm, ((1 << 26) // max(Np, 1)) // pack_bm * pack_bm
-                )
-                parts = []
-                for start in range(0, Mp, chunk):
-                    stop = min(start + chunk, Mp)
-                    real = min(stop, m)
-                    C = np.zeros((stop - start, Np), dtype=np.uint8)
-                    if real > start:
-                        C[: real - start, :n] = S[start:real].toarray()
-                    parts.append(ps.pack_bits_host(C, pack_bm))
-                return jnp.asarray(
-                    np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-                )
-
-            Ymp, Ym2p = _pk_sparse(Ym), _pk_sparse(Ym2)
+            Ymp = jnp.asarray(pack_sparse_words(Ym, Mp, Np, pack_bm))
+            Ym2p = jnp.asarray(pack_sparse_words(Ym2, Mp, Np, pack_bm))
             Ycp = Ym2p if Yc is not None else None
         else:
             can_pack, pack_bm = ps.select_stripe(

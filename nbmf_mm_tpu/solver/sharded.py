@@ -39,7 +39,46 @@ from ..ops import pallas_sweep as ps
 from ..ops.projection import project_columns_simplex_duchi
 from ..ops.updates import clip_upper_interior
 
-__all__ = ["solve_core_sharded", "plan_shard_padding", "pack_words_for_mesh"]
+__all__ = [
+    "solve_core_sharded",
+    "plan_shard_padding",
+    "pack_words_for_mesh",
+    "mesh_pack_geometry",
+]
+
+
+def mesh_pack_geometry(
+    m: int,
+    n: int,
+    n_components: int,
+    *,
+    mesh: Mesh,
+    mesh_axes: Tuple[str, str],
+    block_m: int,
+    block_n: int,
+):
+    """Derive the per-shard packed-stripe geometry for an ``(m, n)`` solve
+    at rank ``n_components`` over ``mesh`` — exactly as the in-loop packer
+    derives it (``select_stripe`` then the packers' ``_pick_block``
+    shrink).  Returns ``(ok, Mp, Np, eff_bm)``; ``ok`` is False when the
+    local geometry cannot run the packed kernels or shard boundaries would
+    split a stripe.  Cheap (no data touched) — the solver driver gates the
+    sparse-ingestion fast path on it BEFORE any packing work.
+    """
+    rows, cols = mesh_axes
+    n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
+    Mp, _ = plan_shard_padding(m, n_rows, block_m)
+    Np, _ = plan_shard_padding(n, n_cols, block_n)
+    m_loc, n_loc = Mp // n_rows, Np // n_cols
+    ok, pack_bm = ps.select_stripe(
+        int(n_components), m_loc, n_loc, 3, packed=True
+    )
+    if not ok:
+        return False, Mp, Np, 0
+    eff = ps._pick_block(m_loc, pack_bm)
+    if eff % ps.PACKED_WORD_BITS or m_loc % eff:
+        return False, Mp, Np, 0
+    return True, Mp, Np, eff
 
 
 def pack_words_for_mesh(
@@ -68,19 +107,17 @@ def pack_words_for_mesh(
     fallback for words).  Returns ``(Ymw, Ym2w, Ycw)`` as int32 numpy
     arrays of shape ``(Mp//32, Np)``.
     """
-    rows, cols = mesh_axes
-    n_rows, n_cols = mesh.shape[rows], mesh.shape[cols]
+    from ..ops.packed import pack_sparse_words
+
     m, n = Y.shape
-    Mp, _ = plan_shard_padding(m, n_rows, block_m)
-    Np, _ = plan_shard_padding(n, n_cols, block_n)
-    m_loc, n_loc = Mp // n_rows, Np // n_cols
-    ok, pack_bm = ps.select_stripe(
-        int(n_components), m_loc, n_loc, 3, packed=True
+    ok, Mp, Np, eff_bm = mesh_pack_geometry(
+        m, n, n_components,
+        mesh=mesh, mesh_axes=mesh_axes, block_m=block_m, block_n=block_n,
     )
-    if not ok or m_loc % pack_bm != 0:
+    if not ok:
         raise ValueError(
-            f"per-shard geometry (k={n_components}, m_loc={m_loc}, "
-            f"n_loc={n_loc}) is not stripe-eligible for the packed kernels"
+            f"per-shard geometry (k={n_components}, mesh {dict(mesh.shape)})"
+            " is not stripe-eligible for the packed kernels"
         )
     if mask is not None:
         Ym_s = Y.multiply(mask).tocsr()
@@ -88,35 +125,16 @@ def pack_words_for_mesh(
     else:
         Ym_s, Ym2_s = Y, None
 
-    chunk = max(pack_bm, ((1 << 26) // max(Np, 1)) // pack_bm * pack_bm)
-    wm, wm2, wc = [], [], []
-    corrected = mask is not None and mask_mode == "corrected"
-    for start in range(0, Mp, chunk):
-        stop = min(start + chunk, Mp)
-        real = min(stop, m)
-        rows_c = stop - start
-        Cym = np.zeros((rows_c, Np), dtype=np.uint8)
-        if real > start:
-            Cym[: real - start, :n] = Ym_s[start:real].toarray()
-        wm.append(ps.pack_bits_host(Cym, pack_bm))
-        Cym2 = np.zeros((rows_c, Np), dtype=np.uint8)
-        if real > start:
-            if Ym2_s is not None:
-                Cym2[: real - start, :n] = Ym2_s[start:real].toarray()
-            else:  # unmasked complement, real region only (pads stay zero)
-                Cym2[: real - start, :n] = 1 - Cym[: real - start, :n]
-        w2 = ps.pack_bits_host(Cym2, pack_bm)
-        wm2.append(w2)
-        if corrected or mask is None:
-            # corrected aliases Ym2; unmasked complement == Ym2 too
-            wc.append(w2)
-        else:  # parity: Yc = 1 - Ym in the real region, zero pads
-            Cyc = np.zeros((rows_c, Np), dtype=np.uint8)
-            if real > start:
-                Cyc[: real - start, :n] = 1 - Cym[: real - start, :n]
-            wc.append(ps.pack_bits_host(Cyc, pack_bm))
-    cat = lambda ws: np.concatenate(ws, axis=0) if len(ws) > 1 else ws[0]
-    return cat(wm), cat(wm2), cat(wc)
+    wm = pack_sparse_words(Ym_s, Mp, Np, eff_bm)
+    if Ym2_s is not None:
+        wm2 = pack_sparse_words(Ym2_s, Mp, Np, eff_bm)
+    else:  # unmasked: Ym2 is the complement (dense as sparse, free as bits)
+        wm2 = pack_sparse_words(Ym_s, Mp, Np, eff_bm, complement=True)
+    if mask is None or mask_mode == "corrected":
+        wc = wm2  # corrected aliases Ym2; unmasked complement == Ym2 too
+    else:  # parity: Yc = 1 - Ym in the real region, zero pads
+        wc = pack_sparse_words(Ym_s, Mp, Np, eff_bm, complement=True)
+    return wm, wm2, wc
 
 
 def plan_shard_padding(dim: int, n_shards: int, block: int) -> Tuple[int, int]:
@@ -224,10 +242,13 @@ def solve_core_sharded(
         )
 
     if packed_words is not None:
-        if m_loc % pack_bm != 0:  # pragma: no cover - 128-aligned local dims
+        # Same effective-stripe shrink the packers apply (_pick_block): the
+        # words must have been packed with it (pack_words_for_mesh does).
+        _eff = ps._pick_block(m_loc, pack_bm)
+        if m_loc % _eff != 0:  # pragma: no cover - 128-aligned local dims
             raise ValueError(
-                f"m_loc={m_loc} is not a multiple of the stripe height "
-                f"{pack_bm}: per-shard word blocks would split a stripe"
+                f"m_loc={m_loc} is not a multiple of the effective stripe "
+                f"{_eff}: per-shard word blocks would split a stripe"
             )
         want = (Mp // ps.PACKED_WORD_BITS, Np)
         for name, Aw in zip(("Ym", "Ym2", "Yc"), packed_words):

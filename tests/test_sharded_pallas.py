@@ -222,7 +222,50 @@ class TestSparseMeshPrepacked:
         kw = self._dense_kw()
         d = solve(Y, 3, mask=mask, mesh=mesh, **kw)
         s = solve(S, 3, mask=mask, mesh=mesh, **kw)
-        np.testing.assert_allclose(s.W, d.W, atol=0)
+        np.testing.assert_array_equal(s.W, d.W)
         # packed=True + non-binary sparse values raises
         with pytest.raises(ValueError, match="binary"):
             solve(S * 2.0, 3, mesh=mesh, packed=True, **kw)
+
+    def test_dense_binary_mask_with_sparse_Y_honors_packed_true(self, mesh):
+        """Sparse Y + DENSE binary mask on a mesh has no sparse fast path,
+        but must densify and honor packed=True exactly like dense input
+        (regression: this used to raise)."""
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(55)
+        Y = (rng.random((300, 200)) < 0.07).astype(np.float32)
+        mask = (rng.random((300, 200)) < 0.6).astype(np.float32)
+        kw = dict(self._dense_kw(), packed=True)
+        d = solve(Y, 3, mask=mask, mesh=mesh, **kw)
+        s = solve(sp.csr_matrix(Y), 3, mask=mask, mesh=mesh, **kw)
+        np.testing.assert_array_equal(s.W, d.W)
+
+    def test_stripe_shrink_geometry_stays_on_fast_path(self, mesh):
+        """When select_stripe returns a stripe LARGER than m_loc, the
+        packers shrink it (_pick_block); the sparse-words path must apply
+        the same shrink instead of spuriously rejecting the geometry
+        (regression: mesh (4,1)-like shapes used to raise on packed=True
+        and silently densify on packed=None)."""
+        import jax
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu.parallel.sharding import make_mesh
+        from nbmf_mm_tpu.solver.sharded import mesh_pack_geometry
+
+        mesh41 = make_mesh(jax.devices()[:4], shape=(4, 1))
+        Y = (np.random.default_rng(56).random((400, 200)) < 0.07).astype(
+            np.float32
+        )
+        ok, _, _, eff = mesh_pack_geometry(
+            400, 200, 4, mesh=mesh41, mesh_axes=("rows", "cols"),
+            block_m=128, block_n=128,
+        )
+        assert ok and eff == 128  # m_loc=128 < select_stripe's pack_bm
+        kw = dict(self._dense_kw(), packed=True)
+        d = solve(Y, 4, mesh=mesh41, **kw)
+        s = solve(sp.csr_matrix(Y), 4, mesh=mesh41, **kw)
+        np.testing.assert_array_equal(s.W, d.W)
+        np.testing.assert_array_equal(
+            np.asarray(s.losses), np.asarray(d.losses)
+        )
