@@ -61,6 +61,11 @@ def grid_solve(
     share the same seeded initialization (as the reference's grid loop does
     with a fixed ``random_state``), isolating the hyperparameter effect.
 
+    ``scipy.sparse`` input densifies here (hyperparameter grids run at
+    paper scale; the no-dense-staging sparse ingestion lives in
+    :func:`~nbmf_mm_tpu.solver.driver.solve`, which a per-cell loop can
+    use if a grid must run at packed-ceiling sizes).
+
     ``packed`` follows :func:`~nbmf_mm_tpu.solver.driver.solve`'s contract:
     ``None`` auto-bitpacks exactly-binary data on the Pallas path, ``False``
     disables, ``True`` requires eligibility and raises otherwise.
