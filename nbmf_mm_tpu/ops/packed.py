@@ -211,7 +211,13 @@ def pack_matrix_chunked(
 
 
 def pack_sparse_words(
-    S, Mp: int, Np: int, block_m: int, *, complement: bool = False
+    S,
+    Mp: int,
+    Np: int,
+    block_m: int,
+    *,
+    complement: bool = False,
+    chunk_rows: Optional[int] = None,
 ) -> np.ndarray:
     """Chunked sparse→stripe-words host packer: bit-identical to
     ``pack_bits_host(padded_dense, block_m)`` on the ``(Mp, Np)``
@@ -231,7 +237,10 @@ def pack_sparse_words(
             f"pack_sparse_words: stripe {block_m} (effective {eff}) does "
             f"not divide Mp={Mp}"
         )
-    chunk = max(eff, ((1 << 26) // max(Np, 1)) // eff * eff)
+    if chunk_rows is None:
+        chunk = max(eff, ((1 << 26) // max(Np, 1)) // eff * eff)
+    else:
+        chunk = max(eff, chunk_rows // eff * eff)
     parts = []
     for start in range(0, Mp, chunk):
         stop = min(start + chunk, Mp)

@@ -672,3 +672,39 @@ class TestSparseMaskedPacked:
             assert fitted.n_iter_ <= 9
             assert np.all(np.isfinite(fitted.loss_curve_))
             assert np.all(np.diff(np.asarray(fitted.loss_curve_)) <= 1e-5)
+
+    def test_pack_sparse_words_chunk_boundaries_bit_equal(self):
+        """pack_sparse_words must be bit-identical to pack_bits_host on the
+        padded dense equivalent for ANY chunking — including chunk sizes
+        that split the matrix mid-way and stripes shrunk by _pick_block —
+        for both the plain and complement forms."""
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu.ops import pallas_sweep as ps
+        from nbmf_mm_tpu.ops.packed import pack_sparse_words
+
+        rng = np.random.default_rng(61)
+        for m, n, Mp, Np, bm in [
+            (300, 200, 384, 256, 128),
+            (400, 130, 512, 256, 256),   # _pick_block shrink (Mp%256==0)
+            (100, 50, 128, 128, 128),    # single chunk, heavy padding
+        ]:
+            Y = (rng.random((m, n)) < 0.1).astype(np.float32)
+            S = sp.csr_matrix(Y)
+            dense = np.zeros((Mp, Np), dtype=np.uint8)
+            dense[:m, :n] = Y
+            comp = np.zeros((Mp, Np), dtype=np.uint8)
+            comp[:m, :n] = 1 - Y[:m, :n]
+            for chunk_rows in (None, 128, 256):
+                w = pack_sparse_words(S, Mp, Np, bm, chunk_rows=chunk_rows)
+                np.testing.assert_array_equal(
+                    w, ps.pack_bits_host(dense, bm),
+                    err_msg=f"{(m, n, Mp, Np, bm, chunk_rows)}",
+                )
+                wc = pack_sparse_words(
+                    S, Mp, Np, bm, complement=True, chunk_rows=chunk_rows
+                )
+                np.testing.assert_array_equal(
+                    wc, ps.pack_bits_host(comp, bm),
+                    err_msg=f"complement {(m, n, Mp, Np, bm, chunk_rows)}",
+                )
