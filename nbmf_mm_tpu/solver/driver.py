@@ -751,8 +751,12 @@ def solve(
             )
         if mesh is not None:
             raise ValueError(
-                "PackedMatrix input is single-chip (the sharded path "
-                "bitpacks per-shard internally from dense input)"
+                "PackedMatrix input is single-chip: its stripe-local layout "
+                "is planned for one chip's geometry, not the mesh's "
+                "per-shard one.  For a mesh, pass the data itself — "
+                "scipy.sparse input packs per-shard words directly "
+                "(no dense staging), and dense input bitpacks per-shard "
+                "on-device"
             )
         if packed is False:
             raise ValueError("packed=False contradicts a PackedMatrix input")
