@@ -708,3 +708,23 @@ class TestSparseMaskedPacked:
                     wc, ps.pack_bits_host(comp, bm),
                     err_msg=f"complement {(m, n, Mp, Np, bm, chunk_rows)}",
                 )
+
+    def test_sparse_device_results_stays_on_device(self):
+        """solve(sparse, device_results=True) composes: factors come back
+        as device arrays (ready for FoldInServer handoff), bit-identical
+        to the dense solve's."""
+        import jax
+        import scipy.sparse as sp
+
+        from nbmf_mm_tpu import solve
+
+        Y = (np.random.default_rng(71).random((300, 200)) < 0.08).astype(
+            np.float32
+        )
+        kw = dict(max_iter=8, random_state=1, dtype="float32",
+                  backend="pallas", pallas_interpret=True)
+        d = solve(Y, 4, **kw)
+        s = solve(sp.csr_matrix(Y), 4, device_results=True, **kw)
+        assert isinstance(s.W, jax.Array) and isinstance(s.H, jax.Array)
+        np.testing.assert_array_equal(d.W, np.asarray(s.W))
+        np.testing.assert_array_equal(d.H, np.asarray(s.H))
