@@ -64,6 +64,10 @@ CEILING = [
     ("ceiling_4e9", 400_000, 10_000, 64, 16, 120),
     ("ceiling_1e10", 1_000_000, 10_000, 32, 16, 60),
 ]
+# (name, M, N, K, density, max_iter) — scipy.sparse host ingestion
+SPARSE = [
+    ("sparse_3pct_1e9", 100_000, 10_000, 128, 0.03, 100),
+]
 
 
 def synth_packed(key, M, N, K_true, K_solve):
@@ -124,13 +128,56 @@ def hbm_gb(pm, K):
 def run_config(name, M, N, K, K_true, max_iter, writer, f):
     import jax
 
-    from nbmf_mm_tpu import solve
-
     print(f"[{name}] synthesizing {M}x{N} (K_true={K_true}) packed ...", flush=True)
     t0 = time.perf_counter()
     pm, oracle_nll = synth_packed(jax.random.PRNGKey(0), M, N, K_true, K)
     pm.words.block_until_ready()
     gen_s = time.perf_counter() - t0
+    _solve_and_record(name, pm, oracle_nll, gen_s, K, max_iter, writer, f)
+
+
+def run_sparse_config(name, M, N, K, density, max_iter, writer, f):
+    """Sparse-ingestion flagship: a host-side ``scipy.sparse`` binary matrix
+    at ``density`` packs through :func:`nbmf_mm_tpu.pack_matrix_sparse` —
+    the real-world large-binary-data shape (user-item interactions), never
+    staged dense on host or device.  Data is i.i.d. Bernoulli(density), so
+    the oracle per-entry NLL is its entropy — the floor any rank-K fit of
+    structureless data can approach."""
+    import scipy.sparse as sp
+
+    from nbmf_mm_tpu import pack_matrix_sparse
+
+    print(f"[{name}] building {M}x{N} csr at {density:.0%} ...", flush=True)
+    rng = np.random.default_rng(0)
+    nnz = int(density * M * N)
+    S = sp.csr_matrix(
+        (
+            np.ones(nnz, dtype=np.float32),
+            (rng.integers(0, M, nnz), rng.integers(0, N, nnz)),
+        ),
+        shape=(M, N),
+    )
+    S.data[:] = 1.0  # collisions summed at construction; rebinarize
+    p_eff = S.nnz / (M * N)
+    oracle_nll = -(p_eff * np.log(p_eff) + (1 - p_eff) * np.log1p(-p_eff))
+    t0 = time.perf_counter()
+    pm = pack_matrix_sparse(S, K)
+    pm.words.block_until_ready()
+    ingest_s = time.perf_counter() - t0
+    print(
+        f"[{name}] sparse->words ingest {pm.nbytes / 2**20:.0f} MB in "
+        f"{ingest_s:.1f}s ({M * N / ingest_s / 1e6:.0f} Mentries/s)",
+        flush=True,
+    )
+    _solve_and_record(name, pm, oracle_nll, ingest_s, K, max_iter, writer, f)
+
+
+def _solve_and_record(name, pm, oracle_nll, gen_s, K, max_iter, writer, f):
+    import jax
+
+    from nbmf_mm_tpu import solve
+
+    M, N = pm.shape
     packed_mb = pm.nbytes / 2**20
     print(
         f"[{name}] packed {packed_mb:.0f} MB in {gen_s:.1f}s "
@@ -182,6 +229,8 @@ def main():
     ap.add_argument("--ceiling", action="store_true",
                     help="also run the HBM-ceiling probes (4e9 and 1e10 entries)")
     ap.add_argument("--only", default=None, help="run a single named config")
+    ap.add_argument("--sparse", action="store_true",
+                    help="also run the scipy.sparse host-ingestion config")
     ap.add_argument("--append", action="store_true",
                     help="append rows to an existing CSV instead of rewriting "
                          "it (targeted --only retries)")
@@ -204,8 +253,10 @@ def main():
     )
 
     configs = CONFIGS + (CEILING if args.ceiling else [])
+    sparse_cfgs = SPARSE if args.sparse else []
     if args.only:
         configs = [c for c in configs + CEILING if c[0] == args.only]
+        sparse_cfgs = [c for c in SPARSE if c[0] == args.only]
     OUT.parent.mkdir(parents=True, exist_ok=True)
     appending = args.append and OUT.exists() and OUT.stat().st_size > 0
     writer = [None]
@@ -217,6 +268,8 @@ def main():
             writer = [csv.DictWriter(f, writer[0].fieldnames)]
         for cfg in configs:
             run_config(*cfg, writer, f)
+        for cfg in sparse_cfgs:
+            run_sparse_config(*cfg, writer, f)
     print(f"wrote {OUT}")
 
 
