@@ -158,13 +158,16 @@ def _wait_for_device():
     init instantly (`RuntimeError: Unable to initialize backend 'axon'`),
     and nothing in-VM can restart it — but outages are often transient, so
     probe in a CLEAN subprocess (backend-init failures can stick to a
-    process) every 30 s for up to NBMF_BENCH_WAIT_DEVICE_S (default 900)
-    before letting the real run proceed/fail.  A probe that *hangs* is not
+    process) every 30 s for up to NBMF_BENCH_WAIT_DEVICE_S (default 3600 —
+    round-3's 900 s window was shorter than a real relay outage and turned
+    an environment failure into a red round artifact; the probes are cheap
+    30 s-interval subprocesses, so waiting longer costs nothing) before
+    letting the real run proceed/fail.  A probe that *hangs* is not
     retried: a half-dead relay is not improved by piling probes onto it.
     """
     import subprocess
 
-    timeout_s = float(os.environ.get("NBMF_BENCH_WAIT_DEVICE_S", "900"))
+    timeout_s = float(os.environ.get("NBMF_BENCH_WAIT_DEVICE_S", "3600"))
     deadline = time.time() + timeout_s
     attempt = 0
     while True:

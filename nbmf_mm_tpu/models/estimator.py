@@ -31,7 +31,12 @@ import numpy as np
 
 from ..ops.updates import fold_in_w_update
 from ..solver.driver import _resolve_dtype, _resolve_precision, solve
-from ..utils.validation import check_array, check_is_fitted, densify
+from ..utils.validation import (
+    check_array,
+    check_is_fitted,
+    densify,
+    warn_large_sparse_densify,
+)
 
 __all__ = ["NBMFMM", "NBMF"]
 
@@ -319,14 +324,17 @@ class NBMFMM(*_BASES):
         this through their ``transform`` refit).
 
         Sparse ``X`` is densified whole (the seeded ``W0`` draw spans the
-        full batch, so chunking here would change results); for sparse
+        full batch, so chunking here would change results) — with a
+        ``UserWarning`` above ~1 GB of dense materialization; for sparse
         request batches at scale use
         :class:`~nbmf_mm_tpu.models.serving.FoldInServer`, which accepts
         ``scipy.sparse`` and stages one bucket-chunk at a time."""
         check_is_fitted(self, ["components_"])
         X = check_array(X, accept_sparse="csr", dtype=np.float64)
+        warn_large_sparse_densify(X, "transform")
         X = densify(X)
         if mask is not None:
+            warn_large_sparse_densify(mask, "transform (mask)")
             mask = densify(mask)
 
         dtype = _resolve_dtype(self.dtype)
@@ -405,6 +413,7 @@ class NBMFMM(*_BASES):
         including the refit-from-scratch semantics and parity masking)."""
         check_is_fitted(self, ["components_"])
         X = check_array(X, accept_sparse="csr", dtype=np.float64)
+        warn_large_sparse_densify(X, "score")
         X = densify(X)
         X_recon = self.inverse_transform(self.transform(X))
         eps = 1e-8
@@ -412,6 +421,7 @@ class NBMFMM(*_BASES):
             log_lik = X * np.log(X_recon + eps) + (1 - X) * np.log(1 - X_recon + eps)
             n_obs = X.size
         else:
+            warn_large_sparse_densify(mask, "score (mask)")
             mask = densify(mask)
             X_masked = X * mask
             log_lik = X_masked * np.log(X_recon + eps) + (1 - X_masked) * np.log(

@@ -8,9 +8,42 @@ cases (dense/CSR float64 conversion, NaN/inf rejection, 2-D enforcement).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 __all__ = ["check_is_fitted", "check_array", "densify"]
+
+# Entry count above which densifying a sparse input warrants a warning:
+# 2**27 f64 entries is ~1 GB of dense materialization.  `fit` never hits
+# this (packed routings ingest sparse structure directly and the dense
+# routings' memory is the solve's own working set), but `transform`/`score`
+# densify the WHOLE batch in one piece by contract (the seeded W0 draw
+# spans the full batch), which can silently allocate many GB.
+SPARSE_DENSIFY_WARN_ENTRIES = 1 << 27
+
+
+def warn_large_sparse_densify(X, where: str) -> None:
+    """Emit a ``UserWarning`` when a scipy.sparse input about to be densified
+    whole would materialize more than ``SPARSE_DENSIFY_WARN_ENTRIES`` dense
+    entries (~1 GB f64).  Chunking inside ``transform`` would change the
+    seeded ``W0`` draw and therefore results, so the densification itself is
+    by contract — but it should never be silent at scale."""
+    if not hasattr(X, "toarray"):
+        return
+    m, n = X.shape
+    n_entries = int(m) * int(n)
+    if n_entries >= SPARSE_DENSIFY_WARN_ENTRIES:
+        warnings.warn(
+            f"{where} densifies sparse input whole: {m}x{n} = {n_entries:.3g} "
+            f"entries (~{8 * n_entries / 1e9:.1f} GB as float64). This is by "
+            "contract (the seeded fold-in W0 draw spans the full batch), but "
+            "for large sparse request batches prefer "
+            "nbmf_mm_tpu.models.serving.FoldInServer, which accepts "
+            "scipy.sparse and stages one bucket-chunk at a time.",
+            UserWarning,
+            stacklevel=3,
+        )
 
 try:  # pragma: no cover - exercised implicitly
     from sklearn.utils import check_array as _sk_check_array
