@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Shape-sweep perf table: sweeps/s and % of the calibrated MXU roofline
+across K and aspect ratios (VERDICT r3 item 5).
+
+The headline bench measures ONE point (M=N=10^4, K=128).  This harness
+proves the kernels are not tuned to that point: it sweeps the rank
+K in {16, 64, 128, 256} at M=N=10^4 and the aspect ratio at a fixed
+10^8-entry count (10^5 x 10^3 tall, 10^4 x 10^4 square, 10^3 x 10^5 wide —
+tall/wide stress the stripe geometry and its VMEM-eligibility fallback
+differently), recording for each shape:
+
+- the library's own routing decision (bitpacked stripe kernels when
+  ``select_stripe`` accepts the shape, dense tiled kernels otherwise —
+  the same rule ``solve`` applies);
+- slope-timed sweeps/s (two max_iter counts, median of pairwise slopes —
+  cancels the 10-45 ms tunneled dispatch constant, see bench.py);
+- %% of the matmul roofline: each sweep runs 6 (m, n, k)-class matmuls
+  (docs/performance.md "corrected roofline"), so the floor is
+  ``12*M*N*K / rate`` at the session-calibrated f32-DEFAULT MXU rate
+  (a hoist-proof 4096^3 matmul slope, remeasured every run rather than
+  quoting the 92 TF/s doc figure).
+
+Writes ``outputs/shape_sweep_tpu.csv``.  Run on the TPU host::
+
+    python tools/bench_shapes.py
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import statistics
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = Path(__file__).resolve().parent.parent / "outputs" / "shape_sweep_tpu.csv"
+
+# (name, M, N, K); sweep counts are sized per-shape from the roofline.
+CONFIGS = [
+    ("k16", 10_000, 10_000, 16),
+    ("k64", 10_000, 10_000, 64),
+    ("k128", 10_000, 10_000, 128),
+    ("k256", 10_000, 10_000, 256),
+    ("tall_1e5x1e3", 100_000, 1_000, 128),
+    ("wide_1e3x1e5", 1_000, 100_000, 128),
+]
+
+
+def calibrate_mxu_tf(jax, jnp, S=4096):
+    """Session f32-DEFAULT MXU rate from a hoist-proof 4096^3 matmul slope."""
+    A = jax.random.uniform(jax.random.PRNGKey(0), (S, S), jnp.float32)
+    B = jax.random.uniform(jax.random.PRNGKey(1), (S, S), jnp.float32)
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(A, B, *, iters):
+        def body(_, Ai):
+            C = Ai @ B
+            # thread the output back in: true data dependency, dead cheap
+            return Ai + C[0, 0] * 0.0
+
+        return jax.lax.fori_loop(0, iters, body, A)
+
+    lo, hi = 8, 40
+    float(loop(A, B, iters=lo)[0, 0])
+    float(loop(A, B, iters=hi)[0, 0])
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=lo)[0, 0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=hi)[0, 0])
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (hi - lo))
+    sec = statistics.median(slopes)
+    return 2 * S**3 / sec / 1e12
+
+
+def main():
+    from experiments._env import force_platform
+
+    force_platform(os.environ.get("NBMF_PLATFORM", "tpu"))
+    import jax
+    import jax.numpy as jnp
+
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+    from nbmf_mm_tpu.solver.driver import _solve_core_pallas
+    from nbmf_mm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # NBMF_SHAPES_TINY=1: CPU interpret-mode smoke of the harness itself
+    # (shapes shrunk; timings meaningless, CSV not written).
+    tiny = os.environ.get("NBMF_SHAPES_TINY") == "1"
+    assert on_tpu or tiny, (
+        "bench_shapes.py measures the real chip; set NBMF_PLATFORM=tpu "
+        "(or NBMF_SHAPES_TINY=1 for a CPU smoke run)"
+    )
+    global CONFIGS
+    if tiny:
+        CONFIGS = [(n, max(M // 64, 512), max(N // 64, 512), min(K, 16))
+                   for n, M, N, K in CONFIGS[:2] + CONFIGS[-2:]]
+
+    tf_rate = calibrate_mxu_tf(jax, jnp, S=512 if tiny else 4096)
+    print(f"calibrated f32-DEFAULT MXU rate: {tf_rate:.1f} TF/s", flush=True)
+
+    rows = []
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    for name, M, N, K in CONFIGS:
+        Mp = ps.round_up(M, 512)
+        Np = ps.round_up(N, 512)
+        kpack = jax.random.PRNGKey(42)
+        kw0, kh0 = jax.random.split(jax.random.PRNGKey(7))
+        W0 = jax.random.uniform(kw0, (K, Mp), jnp.float32, 0.1, 0.9)
+        W0 = W0 / W0.sum(axis=0, keepdims=True)
+        H0 = jax.random.uniform(kh0, (K, Np), jnp.float32, 0.1, 0.9)
+
+        can_pack, bm = ps.select_stripe(K, Mp, Np, 1, packed=True)
+        if can_pack:
+            routing = f"packed-stripe(bm={bm})"
+
+            @jax.jit
+            def mk_packed():
+                def chunk(i, acc):
+                    y = (
+                        jax.random.uniform(jax.random.fold_in(kpack, i), (bm, Np))
+                        < 0.3
+                    ).astype(jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        acc, ps.pack_bits(y, bm), (i * (bm // 32), 0)
+                    )
+
+                return jax.lax.fori_loop(
+                    0, Mp // bm, chunk, jnp.zeros((Mp // 32, Np), jnp.int32)
+                )
+
+            Ydev = mk_packed()
+        else:
+            routing = "dense-tiled"
+
+            @jax.jit
+            def mk_dense():
+                def chunk(i, acc):
+                    y = (
+                        jax.random.uniform(
+                            jax.random.fold_in(kpack, i), (512, Np)
+                        )
+                        < 0.3
+                    ).astype(jnp.float32)
+                    return jax.lax.dynamic_update_slice(acc, y, (i * 512, 0))
+
+                return jax.lax.fori_loop(
+                    0, Mp // 512, chunk, jnp.zeros((Mp, Np), jnp.float32)
+                )
+
+            Ydev = mk_dense()
+        Ydev.block_until_ready()
+
+        args = (
+            Ydev, None, None, W0, H0,
+            f32(1.2), f32(1.2), f32(0.0), f32(M * N),
+        )
+        kw = dict(
+            projection="normalize", verbose=0, eps=1e-8,
+            m_real=M, n_real=N,
+            block_m=ps.DEFAULT_BLOCK, block_n=ps.DEFAULT_BLOCK,
+            packed=can_pack, interpret=not on_tpu,
+        )
+
+        floor_ms = 12.0 * M * N * K / (tf_rate * 1e12) * 1e3
+        # Size the sweep delta so it dominates dispatch noise (~45 ms):
+        # target >= 1.5 s of device time between the two counts.
+        delta = int(np.clip(1500.0 / max(floor_ms, 1e-3), 40, 4000))
+        lo, hi = max(10, delta // 4), max(10, delta // 4) + delta
+        if tiny:
+            lo, hi = 2, 6
+
+        def sync(out):
+            return float(np.asarray(out[4]).sum())
+
+        sync(_solve_core_pallas(*args, **dict(kw, max_iter=lo)))
+        out = _solve_core_pallas(*args, **dict(kw, max_iter=hi))
+        sync(out)
+        slopes = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sync(_solve_core_pallas(*args, **dict(kw, max_iter=lo)))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(_solve_core_pallas(*args, **dict(kw, max_iter=hi)))
+            t_hi = time.perf_counter() - t0
+            slopes.append((t_hi - t_lo) / (hi - lo))
+        slope = statistics.median(slopes)
+        if slope <= 0:
+            raise RuntimeError(f"{name}: non-positive slope {slope}")
+        out_losses = np.asarray(out[2], dtype=np.float64)[: int(np.asarray(out[3]))]
+        if not np.all(np.isfinite(out_losses)):
+            raise RuntimeError(f"{name}: non-finite losses")
+        if np.max(np.diff(out_losses)) > 2e-3:
+            raise RuntimeError(f"{name}: MM descent violated")
+
+        row = dict(
+            config=name, M=M, N=N, K=K, routing=routing,
+            sweeps_per_sec=round(1.0 / slope, 2),
+            ms_per_sweep=round(1e3 * slope, 3),
+            roofline_ms_per_sweep=round(floor_ms, 3),
+            pct_of_roofline=round(100.0 * floor_ms / (1e3 * slope), 1),
+            mxu_tf_s=round(tf_rate, 1),
+            sweeps_timed=f"{lo}/{hi}",
+            device=str(jax.devices()[0]),
+        )
+        rows.append(row)
+        print(row, flush=True)
+        del Ydev, W0, H0, args
+
+    if tiny:
+        print("tiny smoke OK (no CSV written)")
+        return
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    with open(OUT, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
