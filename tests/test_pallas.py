@@ -728,3 +728,36 @@ class TestSparseMaskedPacked:
         assert isinstance(s.W, jax.Array) and isinstance(s.H, jax.Array)
         np.testing.assert_array_equal(d.W, np.asarray(s.W))
         np.testing.assert_array_equal(d.H, np.asarray(s.H))
+
+
+def test_artifact_configs_stay_pack_eligible():
+    """The committed artifact harnesses (flagship_scale.py, bench.py,
+    bench_shapes.py) assert pack-eligibility at runtime on hardware; pin it
+    here on CPU so a select_stripe heuristic change can't silently demote a
+    flagship config to the dense path between hardware runs."""
+    from nbmf_mm_tpu.ops import pallas_sweep as ps
+
+    # (M, N, K) of: bench headline, flagship headline_1e9, ceiling_4e9,
+    # ceiling_1e10, sparse_3pct_1e9, and bench_shapes' K/aspect sweep points
+    # that are expected to pack.
+    packable = [
+        (10_000, 10_000, 128),
+        (100_000, 10_000, 128),
+        (400_000, 10_000, 64),
+        (1_000_000, 10_000, 32),
+        (10_000, 10_000, 16),
+        (10_000, 10_000, 64),
+        (10_000, 10_000, 256),
+        (100_000, 1_000, 128),
+    ]
+    for M, N, K in packable:
+        Mp, Np = ps.round_up(M, 512), ps.round_up(N, 512)
+        ok, bm = ps.select_stripe(K, Mp, Np, 1, packed=True)
+        assert ok, (M, N, K)
+        assert Mp % bm == 0 and bm % 32 == 0, (M, N, K, bm)
+    # The wide aspect point intentionally exceeds the stripe VMEM budget and
+    # must route dense-tiled (bench_shapes records the routing per row).
+    ok, _ = ps.select_stripe(
+        128, ps.round_up(1_000, 512), ps.round_up(100_000, 512), 1, packed=True
+    )
+    assert not ok
