@@ -14,11 +14,16 @@ differently), recording for each shape:
   the same rule ``solve`` applies);
 - slope-timed sweeps/s (two max_iter counts, median of pairwise slopes —
   cancels the 10-45 ms tunneled dispatch constant, see bench.py);
-- %% of the matmul roofline: each sweep runs 6 (m, n, k)-class matmuls
-  (docs/performance.md "corrected roofline"), so the floor is
-  ``12*M*N*K / rate`` at the session-calibrated f32-DEFAULT MXU rate
-  (a hoist-proof 4096^3 matmul slope, remeasured every run rather than
-  quoting the 92 TF/s doc figure).
+- %% of TWO matmul rooflines: each sweep runs 6 (m, n, k)-class matmuls
+  (docs/performance.md "corrected roofline").  ``pct_of_mxu_roofline``
+  uses the absolute floor ``12*M*N*K / rate`` at the session-calibrated
+  f32-DEFAULT MXU rate (hoist-proof 4096^3 matmul slope, remeasured every
+  run rather than quoting the 92 TF/s doc figure) — at small K this is
+  unreachable by ANY implementation (a K=16 contraction cannot fill the
+  128-deep MXU).  ``pct_of_matmul_floor`` therefore also slope-times 6
+  plain XLA matmuls of the SAME (Mp, K)x(K, Np) shape per config — the
+  floor a perfect kernel could actually hit at that K — separating
+  kernel quality from hardware K-geometry.
 
 Writes ``outputs/shape_sweep_tpu.csv``.  Run on the TPU host::
 
@@ -80,6 +85,35 @@ def calibrate_mxu_tf(jax, jnp, S=4096):
         slopes.append((t_hi - t_lo) / (hi - lo))
     sec = statistics.median(slopes)
     return 2 * S**3 / sec / 1e12
+
+
+def matmul_floor_ms(jax, jnp, Mp, K, Np, tiny=False):
+    """Slope-timed seconds of ONE (Mp, K) @ (K, Np) f32-DEFAULT XLA matmul
+    (hoist-proof), scaled to the sweep's 6-matmul floor in ms."""
+    A = jax.random.uniform(jax.random.PRNGKey(2), (Mp, K), jnp.float32)
+    B = jax.random.uniform(jax.random.PRNGKey(3), (K, Np), jnp.float32)
+
+    @partial(jax.jit, static_argnames="iters")
+    def loop(A, B, *, iters):
+        def body(_, Ai):
+            C = Ai @ B
+            return Ai + C[0, 0] * 0.0
+
+        return jax.lax.fori_loop(0, iters, body, A)
+
+    lo, hi = (2, 6) if tiny else (20, 100)
+    float(loop(A, B, iters=lo)[0, 0])
+    float(loop(A, B, iters=hi)[0, 0])
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=lo)[0, 0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=hi)[0, 0])
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (hi - lo))
+    return 6e3 * statistics.median(slopes)
 
 
 def main():
@@ -205,12 +239,15 @@ def main():
         if np.max(np.diff(out_losses)) > 2e-3:
             raise RuntimeError(f"{name}: MM descent violated")
 
+        mm_floor = matmul_floor_ms(jax, jnp, Mp, K, Np, tiny=tiny)
         row = dict(
             config=name, M=M, N=N, K=K, routing=routing,
             sweeps_per_sec=round(1.0 / slope, 2),
             ms_per_sweep=round(1e3 * slope, 3),
-            roofline_ms_per_sweep=round(floor_ms, 3),
-            pct_of_roofline=round(100.0 * floor_ms / (1e3 * slope), 1),
+            mxu_roofline_ms=round(floor_ms, 3),
+            pct_of_mxu_roofline=round(100.0 * floor_ms / (1e3 * slope), 1),
+            matmul_floor_ms=round(mm_floor, 3),
+            pct_of_matmul_floor=round(100.0 * mm_floor / (1e3 * slope), 1),
             mxu_tf_s=round(tf_rate, 1),
             sweeps_timed=f"{lo}/{hi}",
             device=str(jax.devices()[0]),
