@@ -1,6 +1,6 @@
 # Task runner (analogue of the reference's pixi.toml tasks).
 
-.PHONY: test test-tpu validate repro figures bench lint
+.PHONY: test test-tpu validate repro figures bench bench-shapes flagship coldstart lint
 
 test:
 	python -m pytest tests/ -q
@@ -19,6 +19,15 @@ figures:
 
 bench:
 	python bench.py
+
+bench-shapes:
+	python tools/bench_shapes.py
+
+flagship:
+	python experiments/flagship_scale.py --ceiling --sparse
+
+coldstart:
+	python tools/bench_coldstart.py
 
 lint:
 	python -m compileall -q nbmf_mm_tpu experiments tests bench.py __graft_entry__.py
