@@ -89,6 +89,10 @@ def main():
             "loss_agrees": a["loss"] == b["loss"],
         }
         print(json.dumps(result))
+        out = ROOT / "outputs" / "coldstart_tpu.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(result, indent=1) + "\n")
+        print(f"wrote {out}", file=sys.stderr)
     finally:
         if not (args.keep_cache or args.cache_dir):
             shutil.rmtree(cache, ignore_errors=True)
