@@ -50,9 +50,13 @@ done
 note "device probe OK; running queue"
 
 # --- 3. the artifact queue (cheap->expensive) ---------------------------
+# Flagship runs are split so one config's failure cannot abort the others:
+# headline+sparse first (rewrites the CSV), then each ceiling row appended.
 step tpu_pytest env NBMF_TEST_PLATFORM=axon python -m pytest tests/ -m tpu -q
 step bench      python bench.py
 step shapes     python tools/bench_shapes.py
 step coldstart  python tools/bench_coldstart.py
-step flagship   python experiments/flagship_scale.py --ceiling --sparse
+step flagship   python experiments/flagship_scale.py --sparse
+step ceiling4e9 python experiments/flagship_scale.py --only ceiling_4e9 --append
+step ceiling1e10 python experiments/flagship_scale.py --only ceiling_1e10 --append
 note "QUEUE COMPLETE"
