@@ -226,9 +226,18 @@ def main():
     from nbmf_mm_tpu.ops import pallas_sweep as ps
     from nbmf_mm_tpu.ops.updates import precompute_masked_terms
     from nbmf_mm_tpu.solver.driver import _solve_core, _solve_core_pallas
+    from nbmf_mm_tpu.utils import enable_compilation_cache
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        # Persistent compile cache: the timed quantity is the warm slope, so
+        # caching only removes the ~60-90 s tunnel compiles per variant —
+        # shrinking the window in which a relay flap can kill the round's
+        # perf artifact.  TPU-only: executables are keyed to the TPU target;
+        # XLA:CPU AOT entries embed host CPU features and can SIGILL when
+        # this VM migrates hosts between sessions.
+        enable_compilation_cache()
     rng = np.random.default_rng(0)
     Y = jnp.asarray((rng.random((M, N)) < 0.3), dtype=jnp.float32)
     W0 = jnp.asarray(rng.uniform(0.1, 0.9, (K, M)), dtype=jnp.float32)

@@ -18,6 +18,13 @@ importing :mod:`nbmf_mm_tpu` (the package root calls
 :func:`maybe_enable_compilation_cache` on import).  JAX's own
 ``JAX_COMPILATION_CACHE_DIR`` env var works too and takes precedence —
 this helper only fills the config when nothing else set it.
+
+Caveat (CPU backend): XLA:CPU AOT cache entries embed the *compile host's*
+CPU feature set; on VMs that migrate between physical hosts, reloading a
+stale CPU entry triggers loud machine-feature-mismatch warnings and can in
+principle SIGILL.  TPU executables are keyed to the TPU target and are not
+affected.  The bench/flagship harnesses therefore enable the cache only
+when running on a TPU backend.
 """
 
 from __future__ import annotations

@@ -127,8 +127,9 @@ def main():
     from nbmf_mm_tpu.solver.driver import _solve_core_pallas
     from nbmf_mm_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:  # TPU-only: CPU AOT cache entries embed host CPU features
+        enable_compilation_cache()
     # NBMF_SHAPES_TINY=1: CPU interpret-mode smoke of the harness itself
     # (shapes shrunk; timings meaningless, CSV not written).
     tiny = os.environ.get("NBMF_SHAPES_TINY") == "1"
