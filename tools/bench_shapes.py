@@ -57,10 +57,11 @@ CONFIGS = [
 ]
 
 
-def calibrate_mxu_tf(jax, jnp, S=4096):
-    """Session f32-DEFAULT MXU rate from a hoist-proof 4096^3 matmul slope."""
-    A = jax.random.uniform(jax.random.PRNGKey(0), (S, S), jnp.float32)
-    B = jax.random.uniform(jax.random.PRNGKey(1), (S, S), jnp.float32)
+def _sized_matmul_slope(jax, jnp, A, B, tiny=False):
+    """Median slope (s/iter) of a hoist-proof A@B loop, with the iteration
+    delta sized so >=1.5 s of device time separates the two counts — the
+    10-45 ms variable per-dispatch cost must be noise against the delta
+    (docs/performance.md "Measurement methodology")."""
 
     @partial(jax.jit, static_argnames="iters")
     def loop(A, B, *, iters):
@@ -71,7 +72,23 @@ def calibrate_mxu_tf(jax, jnp, S=4096):
 
         return jax.lax.fori_loop(0, iters, body, A)
 
-    lo, hi = 8, 40
+    if tiny:
+        lo, hi = 2, 6
+    else:
+        # Stage 1: coarse per-iter estimate from one (8, 40) pair.
+        float(loop(A, B, iters=8)[0, 0])
+        float(loop(A, B, iters=40)[0, 0])
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=8)[0, 0])
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(A, B, iters=40)[0, 0])
+        t_hi = time.perf_counter() - t0
+        est = max((t_hi - t_lo) / 32.0, 1e-7)
+        # Stage 2: size the delta from the estimate, >=1.5 s device time.
+        delta = int(np.clip(1.5 / est, 40, 8000))
+        lo = max(10, delta // 4)
+        hi = lo + delta
     float(loop(A, B, iters=lo)[0, 0])
     float(loop(A, B, iters=hi)[0, 0])
     slopes = []
@@ -83,37 +100,24 @@ def calibrate_mxu_tf(jax, jnp, S=4096):
         float(loop(A, B, iters=hi)[0, 0])
         t_hi = time.perf_counter() - t0
         slopes.append((t_hi - t_lo) / (hi - lo))
-    sec = statistics.median(slopes)
+    return statistics.median(slopes)
+
+
+def calibrate_mxu_tf(jax, jnp, S=4096, tiny=False):
+    """Session f32-DEFAULT MXU rate from a hoist-proof S^3 matmul slope."""
+    A = jax.random.uniform(jax.random.PRNGKey(0), (S, S), jnp.float32)
+    B = jax.random.uniform(jax.random.PRNGKey(1), (S, S), jnp.float32)
+    sec = _sized_matmul_slope(jax, jnp, A, B, tiny=tiny)
     return 2 * S**3 / sec / 1e12
 
 
 def matmul_floor_ms(jax, jnp, Mp, K, Np, tiny=False):
     """Slope-timed seconds of ONE (Mp, K) @ (K, Np) f32-DEFAULT XLA matmul
-    (hoist-proof), scaled to the sweep's 6-matmul floor in ms."""
+    (hoist-proof, delta sized to >=1.5 s device time), scaled to the
+    sweep's 6-matmul floor in ms."""
     A = jax.random.uniform(jax.random.PRNGKey(2), (Mp, K), jnp.float32)
     B = jax.random.uniform(jax.random.PRNGKey(3), (K, Np), jnp.float32)
-
-    @partial(jax.jit, static_argnames="iters")
-    def loop(A, B, *, iters):
-        def body(_, Ai):
-            C = Ai @ B
-            return Ai + C[0, 0] * 0.0
-
-        return jax.lax.fori_loop(0, iters, body, A)
-
-    lo, hi = (2, 6) if tiny else (20, 100)
-    float(loop(A, B, iters=lo)[0, 0])
-    float(loop(A, B, iters=hi)[0, 0])
-    slopes = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=lo)[0, 0])
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=hi)[0, 0])
-        t_hi = time.perf_counter() - t0
-        slopes.append((t_hi - t_lo) / (hi - lo))
-    return 6e3 * statistics.median(slopes)
+    return 6e3 * _sized_matmul_slope(jax, jnp, A, B, tiny=tiny)
 
 
 def main():
@@ -142,7 +146,7 @@ def main():
         CONFIGS = [(n, max(M // 64, 512), max(N // 64, 512), min(K, 16))
                    for n, M, N, K in CONFIGS[:2] + CONFIGS[-2:]]
 
-    tf_rate = calibrate_mxu_tf(jax, jnp, S=512 if tiny else 4096)
+    tf_rate = calibrate_mxu_tf(jax, jnp, S=512 if tiny else 4096, tiny=tiny)
     print(f"calibrated f32-DEFAULT MXU rate: {tf_rate:.1f} TF/s", flush=True)
 
     rows = []
@@ -152,9 +156,17 @@ def main():
         Np = ps.round_up(N, 512)
         kpack = jax.random.PRNGKey(42)
         kw0, kh0 = jax.random.split(jax.random.PRNGKey(7))
-        W0 = jax.random.uniform(kw0, (K, Mp), jnp.float32, 0.1, 0.9)
+        # Zero-padding contract (pad_operands / _solve_core_pallas): draw
+        # W0/H0 at the REAL shapes, normalize, then zero-pad — the packed
+        # kernels rely on zero pad rows of Y and zero W/H pad columns, so
+        # the losses and the MM-descent guard match what solve() computes.
+        W0 = jax.random.uniform(kw0, (K, M), jnp.float32, 0.1, 0.9)
         W0 = W0 / W0.sum(axis=0, keepdims=True)
-        H0 = jax.random.uniform(kh0, (K, Np), jnp.float32, 0.1, 0.9)
+        W0 = jnp.pad(W0, ((0, 0), (0, Mp - M)))
+        H0 = jnp.pad(
+            jax.random.uniform(kh0, (K, N), jnp.float32, 0.1, 0.9),
+            ((0, 0), (0, Np - N)),
+        )
 
         can_pack, bm = ps.select_stripe(K, Mp, Np, 1, packed=True)
         if can_pack:
@@ -167,6 +179,10 @@ def main():
                         jax.random.uniform(jax.random.fold_in(kpack, i), (bm, Np))
                         < 0.3
                     ).astype(jnp.float32)
+                    # zero the pad rows/cols (rows >= M, cols >= N)
+                    row = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 0)
+                    col = jax.lax.broadcasted_iota(jnp.int32, (bm, Np), 1)
+                    y = jnp.where((row < M) & (col < N), y, 0.0)
                     return jax.lax.dynamic_update_slice(
                         acc, ps.pack_bits(y, bm), (i * (bm // 32), 0)
                     )
@@ -188,6 +204,11 @@ def main():
                         )
                         < 0.3
                     ).astype(jnp.float32)
+                    row = i * 512 + jax.lax.broadcasted_iota(
+                        jnp.int32, (512, Np), 0
+                    )
+                    col = jax.lax.broadcasted_iota(jnp.int32, (512, Np), 1)
+                    y = jnp.where((row < M) & (col < N), y, 0.0)
                     return jax.lax.dynamic_update_slice(acc, y, (i * 512, 0))
 
                 return jax.lax.fori_loop(
