@@ -25,8 +25,11 @@ REFERENCE_ROOT = Path(os.environ.get("NBMF_REFERENCE_ROOT", "/root/reference"))
 LOCAL_DATA = Path(__file__).resolve().parent.parent / "data"
 DATA_DIR = Path(os.environ.get("NBMF_DATA_DIR", REFERENCE_ROOT / "data"))
 SPLIT_DIR = Path(os.environ.get("NBMF_SPLIT_DIR", DATA_DIR / "magron2022"))
+# Default: the vendored copy under data/magron2022/ (the reference's
+# outputs/magron2022/ .npz files, copied verbatim) so a standalone clone
+# keeps its ground-truth anchors; NBMF_MAGRON_OUTPUTS still overrides.
 MAGRON_OUTPUTS = Path(
-    os.environ.get("NBMF_MAGRON_OUTPUTS", REFERENCE_ROOT / "outputs" / "magron2022")
+    os.environ.get("NBMF_MAGRON_OUTPUTS", LOCAL_DATA / "magron2022")
 )
 
 DATASETS = ("animals", "lastfm", "paleo")

@@ -14,8 +14,13 @@ import pytest
 
 from nbmf_mm_tpu.models import NBMFEM, LogisticPCA
 
-REF_DIR = "/root/reference/outputs/magron2022"
 DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+# Default: the vendored copy of the reference's stored artifacts
+# (data/magron2022/), so the identification tests run in a standalone
+# clone; NBMF_MAGRON_OUTPUTS still overrides.
+REF_DIR = os.environ.get(
+    "NBMF_MAGRON_OUTPUTS", os.path.join(DATA, "magron2022")
+)
 
 
 def _toy(m=60, n=40, p=0.3, seed=0):

@@ -19,9 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-_ART = os.environ.get(
-    "NBMF_MAGRON_OUTPUTS", "/root/reference/outputs/magron2022"
+# Default: the artifacts vendored under data/magron2022/ (reference
+# outputs/magron2022/, copied verbatim) so the pins run in a standalone
+# clone; NBMF_MAGRON_OUTPUTS still overrides.
+_VENDORED = os.path.join(
+    os.path.dirname(__file__), "..", "data", "magron2022"
 )
+_ART = os.environ.get("NBMF_MAGRON_OUTPUTS", _VENDORED)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(_ART), reason="Magron artifacts unavailable"
