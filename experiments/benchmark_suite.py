@@ -167,6 +167,14 @@ def main(argv=None):
     # normalize backend aliases (axon = tunneled TPU) for the artifact name
     out = args.outdir / f"benchmark_suite_{'tpu' if platform in ('axon', 'tpu') else platform}.csv"
     with open(out, "w", newline="") as f:
+        # Provenance marker (docs/performance.md "Number provenance"):
+        # self-measured by this harness; driver-vouched numbers live in
+        # BENCH_r*.json.  Consumers must skip '#' lines (no programmatic
+        # readers exist in-repo).
+        f.write(
+            "# provenance: self-measured by experiments/benchmark_suite.py"
+            " (driver-captured numbers are recorded in BENCH_r*.json)\n"
+        )
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
