@@ -215,10 +215,19 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         # reordering stays ~5e-6 even on clip-riding configs (measured,
         # seed 0 draw 2), so sharding bugs (O(1e-2)+) stand out either
         # way.
-        def _pair(ra, rb, what, tol):
+        def _pair(ra, rb, what, tol, factors):
             la, lb = np.asarray(ra.losses), np.asarray(rb.losses)
             assert len(lb) == rb.n_iter and np.all(np.isfinite(lb)), what
             assert np.all(np.isfinite(rb.W)) and np.all(np.isfinite(rb.H))
+            if kw["n_init"] > 1:
+                # Restart SELECTION is route-sensitive: two restarts whose
+                # final losses near-tie can argmin-flip between routes,
+                # swapping the whole returned trajectory/factors while the
+                # best loss moves only by the tie margin.  Only the final
+                # best loss is comparable.
+                e_l = float(abs(la[-1] - lb[-1]))
+                assert e_l < tol, f"{what}: best-loss divergence {e_l}"
+                return
             # With tol > 0 two f32 routes may cross the relative-change
             # threshold one sweep apart; anything more is a bug.
             assert abs(ra.n_iter - rb.n_iter) <= 1, (
@@ -227,27 +236,39 @@ def run_draw(Y, kw, meta, backend, tol_mono):
             nc = min(ra.n_iter, rb.n_iter)
             e_l = float(np.max(np.abs(la[:nc] - lb[:nc]))) if nc else 0.0
             assert e_l < tol, f"{what}: loss divergence {e_l}"
-            if ra.n_iter == rb.n_iter:
+            if factors and ra.n_iter == rb.n_iter:
                 e_w = float(np.max(np.abs(ra.W - rb.W)))
                 e_h = float(np.max(np.abs(ra.H - rb.H)))
                 assert max(e_w, e_h) < tol, (
                     f"{what}: factor divergence dW={e_w} dH={e_h}"
                 )
 
+        # 'stable' = the MM-guarantee regime (normalize projection,
+        # alpha,beta >= 1): the update map is continuous, so route
+        # differences stay at reduction-reorder scale and tight parity is
+        # a valid oracle.  duchi's sort-projection is DISCONTINUOUS (an
+        # entry teetering at the projection threshold flips to an exact 0
+        # on a 1-ulp difference, moving the prior term by O(1) loss —
+        # seed 1 draw 17 measured 6.4e-4 same-backend), and alpha/beta<1
+        # drive factors onto the eps-clip boundary with the same effect
+        # (seed 0 draw 2: XLA-vs-Pallas 3e-2, f32-vs-f64 7e-2).  For those
+        # draws no finite tight bound exists even same-backend; a coarse
+        # 0.05 gate (factors skipped) still catches wrong-collective bugs,
+        # which produce O(0.1+) divergence, NaNs, or shape errors.
         stable = tol_mono is not None
-        tol_pair = 2e-5 if stable else 5e-4
+        tol_pair = 2e-5 if stable else 5e-2
         kw_nomesh = {kk: vv for kk, vv in kw.items() if kk != "mesh"}
         pblk = dict(backend="pallas", pallas_interpret=True,
                     block_m=meta["blocks"][0], block_n=meta["blocks"][1])
         r_x1 = solve(Y, k, **kw_nomesh)
-        _pair(r_x1, res, "xla sharded-vs-unsharded", tol_pair)
+        _pair(r_x1, res, "xla sharded-vs-unsharded", tol_pair, stable)
         r_p1 = solve(Y, k, **pblk, **kw_nomesh)
         r_pm = solve(Y, k, **pblk, **kw)
-        _pair(r_p1, r_pm, "pallas sharded-vs-unsharded", tol_pair)
+        _pair(r_p1, r_pm, "pallas sharded-vs-unsharded", tol_pair, stable)
         if stable:
             # Cross-backend oracle, same as dryrun_multichip but over the
             # full random option product.
-            _pair(res, r_pm, "gspmd-vs-shardmap-pallas", 2e-5)
+            _pair(res, r_pm, "gspmd-vs-shardmap-pallas", 2e-5, True)
         # Sparse-words ingestion on the mesh fast path must be
         # bit-identical to the dense mesh solve (binary draws only; a
         # weighted mask is not a packable structure).
