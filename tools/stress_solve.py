@@ -219,6 +219,8 @@ def run_draw(Y, kw, meta, backend, tol_mono):
             la, lb = np.asarray(ra.losses), np.asarray(rb.losses)
             assert len(lb) == rb.n_iter and np.all(np.isfinite(lb)), what
             assert np.all(np.isfinite(rb.W)) and np.all(np.isfinite(rb.H))
+            if not np.isfinite(tol):
+                return  # structural-only (unstable draw: no valid bound)
             if kw["n_init"] > 1:
                 # Restart SELECTION is route-sensitive: two restarts whose
                 # final losses near-tie can argmin-flip between routes,
@@ -246,17 +248,21 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         # 'stable' = the MM-guarantee regime (normalize projection,
         # alpha,beta >= 1): the update map is continuous, so route
         # differences stay at reduction-reorder scale and tight parity is
-        # a valid oracle.  duchi's sort-projection is DISCONTINUOUS (an
+        # a valid oracle.  Outside it NO loss-parity tolerance is valid,
+        # even same-backend: duchi's sort-projection is DISCONTINUOUS (an
         # entry teetering at the projection threshold flips to an exact 0
         # on a 1-ulp difference, moving the prior term by O(1) loss —
-        # seed 1 draw 17 measured 6.4e-4 same-backend), and alpha/beta<1
-        # drive factors onto the eps-clip boundary with the same effect
-        # (seed 0 draw 2: XLA-vs-Pallas 3e-2, f32-vs-f64 7e-2).  For those
-        # draws no finite tight bound exists even same-backend; a coarse
-        # 0.05 gate (factors skipped) still catches wrong-collective bugs,
-        # which produce O(0.1+) divergence, NaNs, or shape errors.
+        # seed 1 draw 17: 6.4e-4 same-backend), alpha/beta<1 drive factors
+        # onto the eps-clip boundary (seed 0 draw 2: XLA-vs-Pallas 3e-2,
+        # f32-vs-f64 7e-2), and the combination is a chaotic
+        # non-converging map whose loss fluctuates O(0.1) sweep-to-sweep
+        # within a single route (seed 1 draw 62: 7e-3 divergence at sweep
+        # ONE, 0.13 later).  Unstable draws therefore check structural
+        # invariants + sparse bit-identity only; the deterministic
+        # duchi/corrected x mesh parity oracle lives in
+        # __graft_entry__.dryrun_multichip's converging configs.
         stable = tol_mono is not None
-        tol_pair = 2e-5 if stable else 5e-2
+        tol_pair = 2e-5 if stable else np.inf
         kw_nomesh = {kk: vv for kk, vv in kw.items() if kk != "mesh"}
         pblk = dict(backend="pallas", pallas_interpret=True,
                     block_m=meta["blocks"][0], block_n=meta["blocks"][1])
