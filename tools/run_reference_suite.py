@@ -6,8 +6,12 @@ The reference tests (read-only at $NBMF_REFERENCE_ROOT/tests) import
 pytest plugin and executes them unmodified — the strongest drop-in proof.
 
 Usage: python tools/run_reference_suite.py   (or `make test-reference`)
-Round-1 result: 53 passed, 2 skipped (the reference's own always-skips:
-the pyreadr-gated data test and its explicitly-skipped symmetry twin).
+Invariant: every collected test passes (rc=0); the only skips are the
+reference's own always-skips (the pyreadr-gated data test and its
+explicitly-skipped symmetry twin).  The mount's collected count has
+varied between snapshots: round 1 recorded 53 passed / 2 skipped; the
+round-5 snapshot (mount re-stamped 2026-08-16) collects 54 and gives
+52 passed / 2 skipped.
 """
 
 import os
