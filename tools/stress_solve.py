@@ -108,8 +108,16 @@ def finalize_config(Y, kw, meta, backend, precision=None):
         # scale around it (found by this sweep, seed 1 draw 56: a k=1
         # fixed point oscillating +-4e-4).  CPU interpret mode and
         # precision="highest" keep true-f32 products and the tight bound.
+        # Even with exact f32 products the UPDATE MAP carries f32
+        # rounding (normalizer ratios, projections), and near a slow
+        # tail the true per-sweep decrease can drop below it: seed 6
+        # draw 26 (m=49 n=143 k=27, normalize, alpha,beta>2) shows an
+        # identical 2.04e-4 single-sweep rise on plain-f32 XLA AND the
+        # mesh route while f64 descends strictly — pure f32 iteration
+        # noise, not a backend bug.  5e-4 keeps 2.5x margin over the
+        # observed worst while real bugs (O(1e-2)+) still trip it.
         exact_products = (not on_tpu) or precision == "highest"
-        tol_mono = 1e-4 if exact_products else 2e-3
+        tol_mono = 5e-4 if exact_products else 2e-3
     elif backend == "mesh":
         # Multi-chip fuzz over the sparse x mesh x corrected x duchi
         # option product (VERDICT r4 item 8): the primary solve is the
@@ -117,7 +125,7 @@ def finalize_config(Y, kw, meta, backend, precision=None):
         # run_draw cross-checks it against the shard_map-Pallas route
         # (interpret mode) at 2e-5, plus sparse-words bit-identity.
         kw.update(dtype="float32", mesh=meta["mesh_shape"])
-        tol_mono = 1e-4
+        tol_mono = 5e-4  # f32 update-map rounding; see pallas note above
     else:
         kw.update(dtype="float64")
         tol_mono = (
