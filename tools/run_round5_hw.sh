@@ -46,8 +46,19 @@ until ss -tln | grep -q ':809'; do
   probes=$((probes + 1))
   if [ "$(date +%s)" -ge "$deadline" ]; then
     note "RELAY NEVER CAME UP"
-    printf '{"relay_up_seconds": 0, "probes": %d, "window": ["%s", "%s"]}\n' \
-      "$probes" "$START_TS" "$(date -u +%FT%TZ)" > "$LOGDIR/hw_r5_blocked.json"
+    python - "$probes" "$START_TS" "$(date -u +%FT%TZ)" <<'PYEOF'
+import json, os, sys
+probes, start, end = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+path = "outputs/hw_r5_blocked.json"
+rec = {"relay_up_seconds": 0, "probes": 0, "windows": []}
+if os.path.exists(path):
+    old = json.load(open(path))
+    rec["probes"] = old.get("probes", 0)
+    rec["windows"] = old.get("windows") or ([old["window"]] if "window" in old else [])
+rec["probes"] += probes
+rec["windows"].append([start, end])
+json.dump(rec, open(path, "w"))
+PYEOF
     exit 7
   fi
   sleep 30
