@@ -13,13 +13,20 @@ modes, dtypes, restarts, and backends, checking on every draw:
 - NaN-freedom of every output.
 
 Usage: python tools/stress_solve.py [--draws 200] [--seed 0]
-       [--backend jnp|pallas|mesh]
+       [--backend jnp|pallas|mesh|estimator]
                                (pallas runs interpret-mode on CPU; mesh
                                 fuzzes GSPMD vs shard_map-Pallas over a
                                 random 4-device virtual CPU mesh — the
                                 sparse x mesh x corrected x duchi option
                                 product — with 2e-5 parity and sparse
-                                bit-identity checks per draw)
+                                bit-identity checks per draw; estimator
+                                fuzzes the sklearn-style public API —
+                                bit-faithful dispatch over solve(), the
+                                attribute/alias contract, fit_transform,
+                                sparse-fit bit-identity, transform/score/
+                                perplexity determinism, save_model/
+                                load_model round-trips, and resume_fit
+                                trajectory continuation)
        [--only-draw I]         (replay the rng to draw I and solve ONLY it
                                 — config generation is rng-deterministic
                                 and consumes no randomness from solving,
@@ -35,6 +42,14 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Orientation aliases by canonical form (the estimator's
+# _ORIENTATION_ALIASES inverted; reference _base.py:127-137) — estimator
+# draws pick a random alias and assert fit() canonicalizes + stores it.
+_ORIENT_ALIASES = {
+    "beta-dir": ["beta-dir", "Beta-Dir", "binary ICA", "Binary ICA", "bICA"],
+    "dir-beta": ["dir-beta", "Dir-Beta", "Dir Beta", "Aspect Bernoulli"],
+}
 
 
 def draw_config(rng, backend):
@@ -84,8 +99,15 @@ def draw_config(rng, backend):
         if backend == "mesh"
         else None
     )
+    # Only estimator draws consume an alias pick — keeps the other
+    # backends' rng sequences identical to every previously recorded run.
+    alias = (
+        str(rng.choice(_ORIENT_ALIASES[orientation]))
+        if backend == "estimator"
+        else orientation
+    )
     meta = dict(m=m, n=n, k=k, p=p, masked=masked, weighted=weighted,
-                blocks=blocks, mesh_shape=mesh_shape)
+                blocks=blocks, mesh_shape=mesh_shape, alias=alias)
     return Y, kw, meta
 
 
@@ -142,8 +164,136 @@ def finalize_config(Y, kw, meta, backend, precision=None):
     return kw, tol_mono
 
 
+def run_estimator_draw(Y, kw, meta, tol_mono):
+    """Estimator-level oracle set: the sklearn-style public API must be a
+    bit-faithful dispatch over solve() plus a self-consistent attribute,
+    persistence, and fold-in contract (reference _base.py end-to-end).
+
+    Checks per draw (all f64 CPU):
+
+    - fit() canonicalizes + stores the drawn orientation alias;
+    - the attribute contract: len(loss_curve_) == n_iter_,
+      objective_history_ aliases loss_curve_, loss_ == loss_curve_[-1]
+      == reconstruction_err_, factor shapes, finiteness, descent (where
+      the MM guarantee applies);
+    - fit() is BIT-identical to solve() with the same kwargs;
+    - same-seed refit and fit_transform() return bit-identical factors;
+    - scipy.sparse fit (incl. sparse mask) is bit-identical to dense;
+    - transform/score/perplexity/inverse_transform are deterministic,
+      finite, and mutually consistent on fresh fold-in data;
+    - save_model/load_model round-trips every attribute bit-exactly and
+      the restored estimator transforms identically;
+    - resume_fit continues the SAME trajectory: prior history preserved
+      bit-exactly, length contract holds, and descent carries across the
+      checkpoint boundary (MM-guaranteed configs).
+    """
+    import tempfile
+
+    import scipy.sparse as sp
+
+    from nbmf_mm_tpu import NBMF, solve
+    from nbmf_mm_tpu.utils.checkpoint import load_model, resume_fit, save_model
+
+    k, m, n = meta["k"], meta["m"], meta["n"]
+    mask = kw["mask"]
+    est_kw = dict(
+        n_components=k, alpha=kw["alpha"], beta=kw["beta"],
+        max_iter=kw["max_iter"], tol=kw["tol"],
+        random_state=kw["random_state"], orientation=meta["alias"],
+        n_init=kw["n_init"], projection=kw["projection"],
+        mask_mode=kw["mask_mode"], dtype=kw["dtype"],
+    )
+    model = NBMF(**est_kw)
+    model.fit(Y, mask=mask)
+
+    # Attribute/alias contract (reference _base.py; tests/test_public_api.py
+    # pins the pieces — the fuzz checks them under the full option product).
+    assert model.orientation == kw["orientation"], meta["alias"]
+    losses = np.asarray(model.loss_curve_, dtype=np.float64)
+    assert len(losses) == model.n_iter_ and len(losses) > 0
+    assert model.objective_history_ is model.loss_curve_
+    assert float(model.loss_) == losses[-1] == float(model.reconstruction_err_)
+    assert isinstance(model.converged_, (bool, np.bool_))
+    assert model.fit_time_ > 0
+    assert model.W_.shape == (m, k) and model.components_.shape == (k, n)
+    assert np.all(np.isfinite(model.W_)) and np.all(np.isfinite(model.components_))
+    if tol_mono is not None and len(losses) > 1:
+        viol = float(np.max(np.diff(losses)))
+        assert viol <= tol_mono, f"descent violated by {viol}"
+
+    # fit() must be a bit-faithful dispatch over solve().
+    res = solve(Y, k, **kw)
+    np.testing.assert_array_equal(model.W_, res.W)
+    np.testing.assert_array_equal(model.components_, res.H)
+    np.testing.assert_array_equal(losses, np.asarray(res.losses))
+
+    # Same-seed refit bit-equality; fit_transform is exactly fit(X).W_
+    # (mask intentionally absent from fit_transform, reference
+    # _base.py:145-160 — so masked draws refit through fit()).
+    m2 = NBMF(**est_kw)
+    if mask is None:
+        np.testing.assert_array_equal(m2.fit_transform(Y), model.W_)
+    else:
+        m2.fit(Y, mask=mask)
+        np.testing.assert_array_equal(m2.W_, model.W_)
+    np.testing.assert_array_equal(np.asarray(m2.loss_curve_), losses)
+
+    # scipy.sparse input (incl. sparse mask) at the estimator boundary is
+    # bit-identical to the dense fit (CLAUDE.md invariant).
+    m3 = NBMF(**est_kw)
+    m3.fit(sp.csr_matrix(Y), mask=None if mask is None else sp.csr_matrix(mask))
+    np.testing.assert_array_equal(m3.W_, model.W_)
+    np.testing.assert_array_equal(np.asarray(m3.loss_curve_), losses)
+
+    # Fold-in surface on fresh data.  Derived from an independent rng so
+    # config generation keeps its fixed rng-call sequence (--only-draw
+    # replay contract).
+    rng2 = np.random.default_rng(kw["random_state"] ^ 0xA5A5)
+    m_new = int(rng2.integers(2, 40))
+    Xnew = (rng2.random((m_new, n)) < meta["p"]).astype(float)
+    Wt = model.transform(Xnew)
+    assert Wt.shape == (m_new, k) and np.all(np.isfinite(Wt))
+    np.testing.assert_array_equal(np.asarray(model.transform(Xnew)), np.asarray(Wt))
+    rec = model.inverse_transform(np.asarray(Wt))
+    assert rec.shape == (m_new, n)
+    assert rec.min() >= 0.0 and rec.max() <= 1.0
+    s = model.score(Xnew)
+    assert np.isfinite(s)
+    assert np.isclose(model.perplexity(Xnew), np.exp(-s))
+
+    # Persistence round-trip + warm-start continuation.
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.npz")
+        save_model(path, model)
+        loaded = load_model(path)
+        np.testing.assert_array_equal(loaded.W_, model.W_)
+        np.testing.assert_array_equal(loaded.components_, model.components_)
+        np.testing.assert_array_equal(np.asarray(loaded.loss_curve_), losses)
+        assert loaded.n_iter_ == model.n_iter_
+        # Same seed + same components_ => identical fold-in (x64 CPU, so
+        # the restored dtype=None default resolves to the same f64).
+        np.testing.assert_array_equal(
+            np.asarray(loaded.transform(Xnew)), np.asarray(Wt)
+        )
+
+        resumed = resume_fit(path, Y, mask=mask)
+        rl = np.asarray(resumed.loss_curve_, dtype=np.float64)
+        assert len(rl) == resumed.n_iter_
+        assert resumed.n_iter_ >= model.n_iter_
+        np.testing.assert_array_equal(rl[: len(losses)], losses)
+        if tol_mono is not None and len(rl) > len(losses):
+            # Warm start continues the same MM trajectory: descent must
+            # hold across the checkpoint boundary too.
+            jump = float(rl[len(losses)] - rl[len(losses) - 1])
+            assert jump <= tol_mono, f"resume boundary ascent {jump}"
+    return kw
+
+
 def run_draw(Y, kw, meta, backend, tol_mono):
     from nbmf_mm_tpu import solve
+
+    if backend == "estimator":
+        return run_estimator_draw(Y, kw, meta, tol_mono)
 
     k, m, n = meta["k"], meta["m"], meta["n"]
     mask = kw["mask"]
@@ -308,7 +458,7 @@ def main():
     ap.add_argument("--draws", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mesh"])
+                    choices=["jnp", "pallas", "mesh", "estimator"])
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--precision", default=None,
                     choices=["default", "high", "highest"],
