@@ -26,7 +26,13 @@ Usage: python tools/stress_solve.py [--draws 200] [--seed 0]
                                 sparse-fit bit-identity, transform/score/
                                 perplexity determinism, save_model/
                                 load_model round-trips, and resume_fit
-                                trajectory continuation)
+                                trajectory continuation; estimator-pallas
+                                is the same contract with fit routed
+                                through the fused Pallas kernels and
+                                transform through fold_in_fused — the
+                                serving fast path — plus fused-fold-in
+                                simplex and packed-vs-dense bit-identity
+                                oracles)
        [--only-draw I]         (replay the rng to draw I and solve ONLY it
                                 — config generation is rng-deterministic
                                 and consumes no randomness from solving,
@@ -91,7 +97,7 @@ def draw_config(rng, backend):
     # previously recorded run of this tool.
     blocks = (
         (int(rng.choice([64, 128])), int(rng.choice([64, 128])))
-        if backend in ("pallas", "mesh")
+        if backend in ("pallas", "mesh", "estimator-pallas")
         else (None, None)
     )
     mesh_shape = (
@@ -103,7 +109,7 @@ def draw_config(rng, backend):
     # backends' rng sequences identical to every previously recorded run.
     alias = (
         str(rng.choice(_ORIENT_ALIASES[orientation]))
-        if backend == "estimator"
+        if backend in ("estimator", "estimator-pallas")
         else orientation
     )
     meta = dict(m=m, n=n, k=k, p=p, masked=masked, weighted=weighted,
@@ -114,7 +120,7 @@ def draw_config(rng, backend):
 def finalize_config(Y, kw, meta, backend, precision=None):
     """Backend-dependent knobs + which invariants apply."""
     kw = dict(kw)
-    if backend == "pallas":
+    if backend in ("pallas", "estimator-pallas"):
         import jax
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -196,6 +202,11 @@ def run_estimator_draw(Y, kw, meta, tol_mono):
 
     k, m, n = meta["k"], meta["m"], meta["n"]
     mask = kw["mask"]
+    # estimator-pallas draws: the same contract with fit routed through
+    # the fused Pallas kernels (backend="pallas" + solver_options carrying
+    # the solve()-only knobs) and transform through fold_in_fused — the
+    # estimator's serving fast path — instead of the XLA fold-in.
+    pallas = kw.get("backend") == "pallas"
     est_kw = dict(
         n_components=k, alpha=kw["alpha"], beta=kw["beta"],
         max_iter=kw["max_iter"], tol=kw["tol"],
@@ -203,6 +214,14 @@ def run_estimator_draw(Y, kw, meta, tol_mono):
         n_init=kw["n_init"], projection=kw["projection"],
         mask_mode=kw["mask_mode"], dtype=kw["dtype"],
     )
+    if pallas:
+        est_kw.update(
+            backend="pallas",
+            solver_options=dict(
+                pallas_interpret=kw["pallas_interpret"],
+                block_m=kw["block_m"], block_n=kw["block_n"],
+            ),
+        )
     model = NBMF(**est_kw)
     model.fit(Y, mask=mask)
 
@@ -261,6 +280,43 @@ def run_estimator_draw(Y, kw, meta, tol_mono):
     assert np.isfinite(s)
     assert np.isclose(model.perplexity(Xnew), np.exp(-s))
 
+    if pallas:
+        # Fused fold-in (backend="pallas" always routes transform through
+        # fold_in_fused): the returned W rows are the fold-in's simplex
+        # factor — each observed row sums to 1 to f32 accumulation
+        # tolerance (k-term sums; ~1 ulp/entry of projection rounding).
+        atol = max(1e-6, 3e-8 * k * 4)
+        np.testing.assert_allclose(
+            np.asarray(Wt, np.float64).sum(axis=1), 1.0, atol=atol
+        )
+        # Auto-packing (packed=None on exactly-binary data) must be
+        # BIT-identical to the dense kernels (packed=False) on the fused
+        # transform path too (CLAUDE.md invariant) — and with a random
+        # binary request mask.
+        maskT = (
+            (rng2.random((m_new, n)) < 0.8).astype(float)
+            if rng2.random() < 0.5
+            else None
+        )
+        try:
+            model.packed = False
+            Wt_dense = model.transform(Xnew)
+            Wtm_dense = None if maskT is None else model.transform(Xnew, mask=maskT)
+        finally:
+            model.packed = None
+        np.testing.assert_array_equal(np.asarray(Wt_dense), np.asarray(Wt))
+        if maskT is not None:
+            Wtm = model.transform(Xnew, mask=maskT)
+            assert Wtm.shape == (m_new, k) and np.all(np.isfinite(Wtm))
+            np.testing.assert_array_equal(
+                np.asarray(model.transform(Xnew, mask=maskT)), np.asarray(Wtm)
+            )
+            np.testing.assert_array_equal(np.asarray(Wtm_dense), np.asarray(Wtm))
+        # Persistence/resume round-trips are pinned in the f64 estimator
+        # mode; the restored dtype=None default resolves to f64 on CPU,
+        # so bit-level transform comparison is not meaningful here.
+        return kw
+
     # Persistence round-trip + warm-start continuation.
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "ckpt.npz")
@@ -292,7 +348,7 @@ def run_estimator_draw(Y, kw, meta, tol_mono):
 def run_draw(Y, kw, meta, backend, tol_mono):
     from nbmf_mm_tpu import solve
 
-    if backend == "estimator":
+    if backend in ("estimator", "estimator-pallas"):
         return run_estimator_draw(Y, kw, meta, tol_mono)
 
     k, m, n = meta["k"], meta["m"], meta["n"]
@@ -458,7 +514,8 @@ def main():
     ap.add_argument("--draws", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "mesh", "estimator"])
+                    choices=["jnp", "pallas", "mesh", "estimator",
+                             "estimator-pallas"])
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--precision", default=None,
                     choices=["default", "high", "highest"],
