@@ -867,8 +867,16 @@ def solve(
         raise ValueError(f"H_init must have shape {(k, n)}, got {H0.shape[1:]}")
 
     # Internal layout: W is (k, m) with unit column sums (_solver.py:132-136).
+    # The renorm is guarded like the in-loop simplex step: a returned factor
+    # legitimately carries all-zero simplex vectors for fully-unobserved
+    # samples (pinned contract), so warm-starting from it (resume_fit, or
+    # W_init=prev.W) must not divide 0/0 — zero columns stay exactly zero
+    # and contribute nothing, matching what a fresh fit returns for them.
+    # For positive sums the guard returns the sum unchanged, so every
+    # previously-valid init renormalizes bit-identically.
     W0 = jnp.swapaxes(W0_ext, 1, 2)
-    W0 = W0 / W0.sum(axis=1, keepdims=True)
+    W0_sums = W0.sum(axis=1, keepdims=True)
+    W0 = W0 / jnp.where(W0_sums > 0, W0_sums, 1.0)
 
     if mask is None:
         n_obs = jnp.array(m * n, dtype=dtype)

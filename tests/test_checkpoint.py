@@ -57,6 +57,61 @@ def test_resume_continues_descent(tmp_path):
     assert hist[-1] <= hist[4]
 
 
+def test_resume_with_fully_unobserved_sample(tmp_path):
+    """Warm-starting from a checkpoint whose factors carry an all-zero
+    simplex vector (the pinned contract for fully-unobserved samples) must
+    not NaN: the init renorm is guarded like the in-loop simplex step, so
+    the zero vector stays exactly zero and the resumed trajectory keeps
+    descending (found by tools/stress_solve.py --backend estimator,
+    seed 11 draw 86: the unguarded 0/0 renorm poisoned every factor)."""
+    rng = np.random.default_rng(5)
+    X = (rng.random((4, 33)) < 0.5).astype(float)
+    mask = (rng.random((4, 33)) < 0.7).astype(float)
+    mask[:, 25] = 0.0  # one fully-unobserved column
+    model = NBMF(
+        n_components=3, max_iter=26, tol=1e-4, alpha=3.46, beta=3.43,
+        orientation="dir-beta", mask_mode="corrected", random_state=0,
+        dtype="float64",
+    ).fit(X, mask=mask)
+    H = np.asarray(model.components_)
+    assert H[:, 25].sum() == 0.0  # the zero simplex vector is present
+    path = tmp_path / "unobserved.npz"
+    save_model(path, model)
+    resumed = resume_fit(path, X, mask=mask)
+    hist = np.asarray(resumed.loss_curve_)
+    assert np.all(np.isfinite(hist))
+    assert np.all(np.isfinite(resumed.W_))
+    assert np.all(np.isfinite(resumed.components_))
+    # Descent carries across the checkpoint boundary and beyond.
+    assert np.all(np.diff(hist[model.n_iter_ - 1:]) <= 1e-10)
+    # The unobserved sample's simplex vector stays exactly zero.
+    assert np.asarray(resumed.components_)[:, 25].sum() == 0.0
+
+
+def test_warm_start_zero_simplex_row_direct_solve():
+    """solve(W_init=prev.W, H_init=prev.H) with a boundary-zero simplex
+    row (beta-dir orientation) is NaN-free too — the guard lives in the
+    driver's init ingestion, not in resume_fit."""
+    from nbmf_mm_tpu import solve
+
+    rng = np.random.default_rng(7)
+    X = (rng.random((20, 12)) < 0.4).astype(float)
+    mask = (rng.random((20, 12)) < 0.8).astype(float)
+    mask[3, :] = 0.0  # one fully-unobserved row (beta-dir simplex side)
+    first = solve(X, 3, mask=mask, mask_mode="corrected", max_iter=20,
+                  tol=0.0, random_state=1, dtype="float64")
+    W = np.asarray(first.W)
+    assert W[3].sum() == 0.0
+    second = solve(X, 3, W_init=first.W, H_init=first.H, mask=mask,
+                   mask_mode="corrected", max_iter=10, tol=0.0,
+                   dtype="float64")
+    assert np.all(np.isfinite(np.asarray(second.losses)))
+    assert np.all(np.isfinite(second.W)) and np.all(np.isfinite(second.H))
+    assert np.asarray(second.W)[3].sum() == 0.0
+    # Warm start descends from the checkpointed loss.
+    assert np.asarray(second.losses)[0] <= np.asarray(first.losses)[-1] + 1e-10
+
+
 def test_fit_checkpointed_segments(tmp_path):
     from nbmf_mm_tpu.utils.checkpoint import fit_checkpointed, load_checkpoint
 
