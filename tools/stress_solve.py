@@ -32,7 +32,14 @@ Usage: python tools/stress_solve.py [--draws 200] [--seed 0]
                                 transform through fold_in_fused — the
                                 serving fast path — plus fused-fold-in
                                 simplex and packed-vs-dense bit-identity
-                                oracles)
+                                oracles; edge biases draws onto structural
+                                boundaries — fully-unobserved rows/cols,
+                                single-observation masks, constant/empty
+                                data, k=1, custom inits ON the constraint
+                                boundary — and adds a warm-start
+                                round-trip oracle per draw: re-solving
+                                from returned factors must be NaN-free
+                                and keep descending)
        [--only-draw I]         (replay the rng to draw I and solve ONLY it
                                 — config generation is rng-deterministic
                                 and consumes no randomness from solving,
@@ -114,6 +121,69 @@ def draw_config(rng, backend):
     )
     meta = dict(m=m, n=n, k=k, p=p, masked=masked, weighted=weighted,
                 blocks=blocks, mesh_shape=mesh_shape, alias=alias)
+    if backend == "edge":
+        # Boundary-biased structural patterns that uniform draws almost
+        # never hit (the warm-start NaN bug lived here: a fully-unobserved
+        # sample's all-zero simplex vector re-entering as W_init).  Only
+        # edge draws consume these rng calls.
+        pattern = str(rng.choice([
+            "zero_rows", "zero_cols", "zero_both", "single_obs_rows",
+            "one_obs_total", "all_zero_Y", "all_one_Y", "constant_cols",
+            "k1", "init_boundary",
+        ]))
+        meta["pattern"] = pattern
+        mask = (rng.random((m, n)) < 0.7).astype(float)
+        if pattern == "zero_rows":
+            mask[rng.choice(m, size=max(1, m // 3), replace=False), :] = 0.0
+        elif pattern == "zero_cols":
+            mask[:, rng.choice(n, size=max(1, n // 3), replace=False)] = 0.0
+        elif pattern == "zero_both":
+            mask[rng.choice(m, size=max(1, m // 4), replace=False), :] = 0.0
+            mask[:, rng.choice(n, size=max(1, n // 4), replace=False)] = 0.0
+        elif pattern == "single_obs_rows":
+            mask[:] = 0.0
+            mask[np.arange(m), rng.integers(0, n, size=m)] = 1.0
+        elif pattern == "one_obs_total":
+            mask[:] = 0.0
+            mask[int(rng.integers(0, m)), int(rng.integers(0, n))] = 1.0
+        elif pattern == "all_zero_Y":
+            Y = np.zeros_like(Y)
+            mask = None
+        elif pattern == "all_one_Y":
+            Y = np.ones_like(Y)
+            mask = None
+        elif pattern == "constant_cols":
+            Y = np.tile((rng.random(n) < 0.5).astype(float), (m, 1))
+            mask = None
+        elif pattern == "k1":
+            meta["k"] = 1
+            mask = mask if meta["masked"] else None
+        elif pattern == "init_boundary":
+            # Custom inits sitting ON the constraint boundary: zero
+            # simplex rows (the fixed 0/0 renorm), plus exact-0/1 Beta
+            # entries (the eps-clip edge).
+            k = meta["k"]
+            if kw["orientation"] == "beta-dir":
+                # external W (m,k) simplex rows: some all-zero rows;
+                # external H (k,n) Beta-box: exact {0,1} entries.
+                W0 = rng.random((m, k))
+                W0[rng.choice(m, size=max(1, m // 4), replace=False), :] = 0.0
+                H0 = (rng.random((k, n)) < 0.5).astype(float)
+            else:
+                # dir-beta: external W (m,k) Beta-box at exact {0,1};
+                # external H (k,n) simplex columns with some all-zero.
+                W0 = (rng.random((m, k)) < 0.5).astype(float)
+                H0 = rng.random((k, n))
+                H0[:, rng.choice(n, size=max(1, n // 4), replace=False)] = 0.0
+            kw["W_init"], kw["H_init"] = W0, H0
+            kw["n_init"] = 1
+            mask = mask if meta["masked"] else None
+        # Guarantee the all-zero-mask ValueError contract isn't tripped.
+        if mask is not None and mask.sum() == 0:
+            mask.flat[0] = 1.0
+        kw["mask"] = mask
+        meta["masked"] = mask is not None
+        meta["weighted"] = False
     return Y, kw, meta
 
 
@@ -390,12 +460,21 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         np.testing.assert_allclose(sums[observed], 1.0, atol=atol)
         assert np.all((np.abs(sums - 1.0) <= atol) | (sums == 0.0))
 
+    # A user-provided all-zero simplex vector is an absorbing state of the
+    # multiplicative map (0 * anything = 0), so under the init_boundary
+    # edge pattern those rows/cols legitimately stay zero even when
+    # observed — exempt them from the ==1 half of the simplex check (the
+    # (== 0) | (≈ 1) invariant below still applies to every vector).
     if kw["orientation"] == "beta-dir":
         obs = np.ones(m, bool) if mask is None else mask.sum(axis=1) > 0
+        if meta.get("pattern") == "init_boundary":
+            obs &= np.asarray(kw["W_init"]).sum(axis=1) > 0
         check_simplex(res.W.sum(axis=1), obs)
         assert res.H.min() >= 0 and res.H.max() <= 1
     else:
         obs = np.ones(n, bool) if mask is None else mask.sum(axis=0) > 0
+        if meta.get("pattern") == "init_boundary":
+            obs &= np.asarray(kw["H_init"]).sum(axis=0) > 0
         check_simplex(res.H.sum(axis=0), obs)
         assert res.W.min() >= 0 and res.W.max() <= 1
 
@@ -417,6 +496,28 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         np.testing.assert_array_equal(b.W, c.W)
         np.testing.assert_array_equal(np.asarray(b.losses),
                                       np.asarray(c.losses))
+
+    if backend == "edge":
+        # The hardened warm-start path: re-solving from ANY returned
+        # factors (which may sit on the constraint boundary — all-zero
+        # simplex vectors, exact-0/1 Beta entries) must stay NaN-free,
+        # and for MM-guaranteed configs the first resumed loss descends
+        # from the final original loss (1e-8 absorbs the final-renorm
+        # safeguard's drift correction at its 1e-9 threshold).
+        kw2 = {k2: v2 for k2, v2 in kw.items() if k2 not in ("W_init", "H_init")}
+        kw2.update(W_init=np.asarray(res.W), H_init=np.asarray(res.H), n_init=1)
+        r2 = solve(Y, k, **kw2)
+        l2 = np.asarray(r2.losses)
+        assert len(l2) == r2.n_iter
+        assert np.all(np.isfinite(l2)), "warm-start losses not finite"
+        assert np.all(np.isfinite(r2.W)) and np.all(np.isfinite(r2.H))
+        if tol_mono is not None and len(l2) > 1:
+            viol2 = np.max(np.diff(l2))
+            assert viol2 <= tol_mono, f"warm-start descent violated by {viol2}"
+        if tol_mono is not None and len(losses) and len(l2):
+            assert l2[0] <= losses[-1] + 1e-8, (
+                f"warm-start ascent across restart: {l2[0]} > {losses[-1]}"
+            )
 
     if backend == "mesh":
         # Mesh fuzz (VERDICT r4 item 8): isolate SHARDING effects by
@@ -515,7 +616,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="jnp",
                     choices=["jnp", "pallas", "mesh", "estimator",
-                             "estimator-pallas"])
+                             "estimator-pallas", "edge"])
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--precision", default=None,
                     choices=["default", "high", "highest"],
