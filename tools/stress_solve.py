@@ -104,12 +104,13 @@ def draw_config(rng, backend):
     # previously recorded run of this tool.
     blocks = (
         (int(rng.choice([64, 128])), int(rng.choice([64, 128])))
-        if backend in ("pallas", "mesh", "estimator-pallas")
+        if backend in ("pallas", "mesh", "estimator-pallas",
+                       "edge-pallas", "edge-mesh")
         else (None, None)
     )
     mesh_shape = (
         tuple(int(x) for x in rng.choice([[2, 2], [4, 1], [1, 4], [2, 1]]))
-        if backend == "mesh"
+        if backend in ("mesh", "edge-mesh")
         else None
     )
     # Only estimator draws consume an alias pick — keeps the other
@@ -121,11 +122,13 @@ def draw_config(rng, backend):
     )
     meta = dict(m=m, n=n, k=k, p=p, masked=masked, weighted=weighted,
                 blocks=blocks, mesh_shape=mesh_shape, alias=alias)
-    if backend == "edge":
+    if backend.startswith("edge"):
         # Boundary-biased structural patterns that uniform draws almost
         # never hit (the warm-start NaN bug lived here: a fully-unobserved
         # sample's all-zero simplex vector re-entering as W_init).  Only
-        # edge draws consume these rng calls.
+        # edge draws consume these rng calls.  edge-pallas / edge-mesh run
+        # the same patterns through the fused-kernel / sharded routes,
+        # where structural zeros cross tile and shard boundaries.
         pattern = str(rng.choice([
             "zero_rows", "zero_cols", "zero_both", "single_obs_rows",
             "one_obs_total", "all_zero_Y", "all_one_Y", "constant_cols",
@@ -190,7 +193,7 @@ def draw_config(rng, backend):
 def finalize_config(Y, kw, meta, backend, precision=None):
     """Backend-dependent knobs + which invariants apply."""
     kw = dict(kw)
-    if backend in ("pallas", "estimator-pallas"):
+    if backend in ("pallas", "estimator-pallas", "edge-pallas"):
         import jax
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -216,7 +219,7 @@ def finalize_config(Y, kw, meta, backend, precision=None):
         # observed worst while real bugs (O(1e-2)+) still trip it.
         exact_products = (not on_tpu) or precision == "highest"
         tol_mono = 5e-4 if exact_products else 2e-3
-    elif backend == "mesh":
+    elif backend in ("mesh", "edge-mesh"):
         # Multi-chip fuzz over the sparse x mesh x corrected x duchi
         # option product (VERDICT r4 item 8): the primary solve is the
         # GSPMD route on a virtual CPU mesh (f32, exact products), and
@@ -423,7 +426,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
 
     k, m, n = meta["k"], meta["m"], meta["n"]
     mask = kw["mask"]
-    if backend == "mesh":
+    if backend in ("mesh", "edge-mesh"):
         # finalize_config stores the drawn shape; materialize the Mesh
         # here (jax must already be platform-forced with enough virtual
         # devices).
@@ -479,7 +482,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         assert res.W.min() >= 0 and res.W.max() <= 1
 
     # packed-vs-dense bit-identity (pallas draws on exactly-binary data)
-    if backend == "pallas" and not meta["weighted"]:
+    if backend in ("pallas", "edge-pallas") and not meta["weighted"]:
         a = solve(Y, k, **{**kw, "packed": False})
         b = solve(Y, k, **kw)  # auto
         np.testing.assert_array_equal(a.W, b.W)
@@ -497,7 +500,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         np.testing.assert_array_equal(np.asarray(b.losses),
                                       np.asarray(c.losses))
 
-    if backend == "edge":
+    if backend.startswith("edge"):
         # The hardened warm-start path: re-solving from ANY returned
         # factors (which may sit on the constraint boundary — all-zero
         # simplex vectors, exact-0/1 Beta entries) must stay NaN-free,
@@ -519,7 +522,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
                 f"warm-start ascent across restart: {l2[0]} > {losses[-1]}"
             )
 
-    if backend == "mesh":
+    if backend in ("mesh", "edge-mesh"):
         # Mesh fuzz (VERDICT r4 item 8): isolate SHARDING effects by
         # comparing sharded-vs-unsharded *within each backend* on every
         # draw — outside the MM-guarantee regime (duchi, alpha<1, beta<1)
@@ -616,7 +619,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="jnp",
                     choices=["jnp", "pallas", "mesh", "estimator",
-                             "estimator-pallas", "edge"])
+                             "estimator-pallas", "edge", "edge-pallas",
+                             "edge-mesh"])
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--precision", default=None,
                     choices=["default", "high", "highest"],
@@ -646,7 +650,7 @@ def main():
     # Force the platform properly (env vars alone don't stick when a
     # sitecustomize pre-imports jax on a TPU backend; x64 draws silently
     # downcast there and report garbage).
-    if args.backend == "mesh":
+    if args.backend in ("mesh", "edge-mesh"):
         # Mesh draws need >=4 virtual CPU devices; the flag must be set
         # before the CPU backend initializes (same recipe as
         # __graft_entry__.dryrun_multichip).
