@@ -503,10 +503,19 @@ def run_draw(Y, kw, meta, backend, tol_mono):
     if backend.startswith("edge"):
         # The hardened warm-start path: re-solving from ANY returned
         # factors (which may sit on the constraint boundary — all-zero
-        # simplex vectors, exact-0/1 Beta entries) must stay NaN-free,
-        # and for MM-guaranteed configs the first resumed loss descends
-        # from the final original loss (1e-8 absorbs the final-renorm
-        # safeguard's drift correction at its 1e-9 threshold).
+        # simplex vectors, exact-0/1 Beta entries) must stay NaN-free.
+        # Descent oracles apply only where the TRUE MM guarantee does:
+        # corrected masking or no mask, on top of the normalize/α,β≥1
+        # gating already in tol_mono.  Parity masking is the reference's
+        # asymmetric scheme — NOT a genuine MM descent — and from a warm
+        # start at its quasi-fixed-point the objective legitimately
+        # ascends at O(1e-4) even in f64 (seed 15 draw 43: zero_cols ×
+        # parity, +3.1e-5 across the restart then +1e-4/sweep, identical
+        # in f64 — algorithmic, not rounding), while fresh interior inits
+        # happen to descend within the historical 5e-4 f32 bound.  The
+        # cross-restart bound is max(tol_mono, 1e-8): 1e-8 absorbs the
+        # final-renorm drift correction (1e-9 threshold) on f64 routes;
+        # f32 routes inherit the 5e-4 update-map rounding envelope.
         kw2 = {k2: v2 for k2, v2 in kw.items() if k2 not in ("W_init", "H_init")}
         kw2.update(W_init=np.asarray(res.W), H_init=np.asarray(res.H), n_init=1)
         r2 = solve(Y, k, **kw2)
@@ -514,11 +523,15 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         assert len(l2) == r2.n_iter
         assert np.all(np.isfinite(l2)), "warm-start losses not finite"
         assert np.all(np.isfinite(r2.W)) and np.all(np.isfinite(r2.H))
-        if tol_mono is not None and len(l2) > 1:
+        mm_ok = tol_mono is not None and (
+            kw["mask_mode"] == "corrected" or kw["mask"] is None
+        )
+        if mm_ok and len(l2) > 1:
             viol2 = np.max(np.diff(l2))
             assert viol2 <= tol_mono, f"warm-start descent violated by {viol2}"
-        if tol_mono is not None and len(losses) and len(l2):
-            assert l2[0] <= losses[-1] + 1e-8, (
+        if mm_ok and len(losses) and len(l2):
+            bound = max(tol_mono, 1e-8)
+            assert l2[0] <= losses[-1] + bound, (
                 f"warm-start ascent across restart: {l2[0]} > {losses[-1]}"
             )
 
