@@ -229,11 +229,18 @@ def finalize_config(Y, kw, meta, backend, precision=None):
         tol_mono = 5e-4  # f32 update-map rounding; see pallas note above
     else:
         kw.update(dtype="float64")
-        tol_mono = (
-            1e-10
-            if kw["mask_mode"] == "corrected" or kw["mask"] is None
-            else None
-        )
+        tol_mono = 1e-10
+    if kw["mask_mode"] == "parity" and kw["mask"] is not None:
+        # Parity masking is the reference's asymmetric scheme, NOT a true
+        # MM descent: unobserved entries act as observed zeros in two
+        # places, so the reported objective is not the quantity the
+        # update decreases.  On the 40-95%-observed masks this sweep
+        # historically drew, the drift stayed under the 5e-4 f32 bound by
+        # luck; edge patterns (one observation per row) surfaced
+        # IDENTICAL O(1e-3) rises in f64 and f32 (seed 15 draw 86 —
+        # algorithmic, not rounding).  No descent bound exists; check
+        # structurally, like the f64 rule always did.
+        tol_mono = None
     if kw["projection"] == "duchi" or kw["alpha"] < 1.0 or kw["beta"] < 1.0:
         # Monotone descent is only guaranteed for the multiplicative MM
         # step with alpha, beta >= 1 (see solve() docstring; <1 exponents
@@ -592,7 +599,18 @@ def run_draw(Y, kw, meta, backend, tol_mono):
         # invariants + sparse bit-identity only; the deterministic
         # duchi/corrected x mesh parity oracle lives in
         # __graft_entry__.dryrun_multichip's converging configs.
-        stable = tol_mono is not None
+        # Route parity needs map CONTINUITY (normalize, alpha,beta >= 1),
+        # not the MM descent guarantee: parity-masked draws have no
+        # descent bound (the scheme is not a true MM — see finding 5/6 in
+        # outputs/stress_corpus_r5.md) but their update map is still a
+        # continuous composition of multiplicative steps, so
+        # sharded-vs-unsharded and cross-backend differences stay at
+        # reduction-reorder scale (570 recorded mesh draws at 2e-5).
+        stable = (
+            kw["projection"] != "duchi"
+            and kw["alpha"] >= 1.0
+            and kw["beta"] >= 1.0
+        )
         tol_pair = 2e-5 if stable else np.inf
         kw_nomesh = {kk: vv for kk, vv in kw.items() if kk != "mesh"}
         pblk = dict(backend="pallas", pallas_interpret=True,
