@@ -559,6 +559,13 @@ def run_draw(Y, kw, meta, backend, tol_mono):
             assert np.all(np.isfinite(rb.W)) and np.all(np.isfinite(rb.H))
             if not np.isfinite(tol):
                 return  # structural-only (unstable draw: no valid bound)
+            # Loss tolerances are RELATIVE to the trajectory scale: the
+            # objective normalizes by n_obs, and structural edge masks can
+            # make n_obs tiny (one_obs_total: n_obs=1 => losses O(10^3),
+            # where one f32 ulp is ~5e-4 — seed 16 draw 7 diverged by a
+            # sub-ulp 2.4e-4 on the sharded route, pure rounding).  On
+            # ordinary per-entry losses (O(0.1-5)) the bound is unchanged.
+            scale = max(1.0, float(np.abs(la).max()) if len(la) else 1.0)
             if kw["n_init"] > 1:
                 # Restart SELECTION is route-sensitive: two restarts whose
                 # final losses near-tie can argmin-flip between routes,
@@ -566,7 +573,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
                 # best loss moves only by the tie margin.  Only the final
                 # best loss is comparable.
                 e_l = float(abs(la[-1] - lb[-1]))
-                assert e_l < tol, f"{what}: best-loss divergence {e_l}"
+                assert e_l < tol * scale, f"{what}: best-loss divergence {e_l}"
                 return
             # With tol > 0 two f32 routes may cross the relative-change
             # threshold one sweep apart; anything more is a bug.
@@ -575,7 +582,7 @@ def run_draw(Y, kw, meta, backend, tol_mono):
             )
             nc = min(ra.n_iter, rb.n_iter)
             e_l = float(np.max(np.abs(la[:nc] - lb[:nc]))) if nc else 0.0
-            assert e_l < tol, f"{what}: loss divergence {e_l}"
+            assert e_l < tol * scale, f"{what}: loss divergence {e_l}"
             if factors and ra.n_iter == rb.n_iter:
                 e_w = float(np.max(np.abs(ra.W - rb.W)))
                 e_h = float(np.max(np.abs(ra.H - rb.H)))
