@@ -66,9 +66,12 @@ CEILING = [
     ("ceiling_4e9", 400_000, 10_000, 64, 16, 600),
     ("ceiling_1e10", 1_000_000, 10_000, 32, 16, 800),
 ]
-# (name, M, N, K, density, max_iter) — scipy.sparse host ingestion
+# (name, M, N, K, density, max_iter) — scipy.sparse host ingestion.
+# The row's point is ingestion throughput, but the budget is still sized
+# to CONVERGE (tol=1e-5) so the CSV carries no converged=False rows
+# (headline geometry converges < 300; unstructured 3 % noise is quicker).
 SPARSE = [
-    ("sparse_3pct_1e9", 100_000, 10_000, 128, 0.03, 100),
+    ("sparse_3pct_1e9", 100_000, 10_000, 128, 0.03, 600),
 ]
 
 
