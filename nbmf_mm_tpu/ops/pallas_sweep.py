@@ -1047,7 +1047,20 @@ def select_stripe(k: int, Mp: int, Np: int, n_data: int,
             2 * n_data * data_rows * Np + n_inter * bm * Np + 4 * k * Np + 2 * k * bm
         ) * 4
         if need <= budget_bytes and Mp % _pick_block(Mp, bm) == 0:
-            if packed and _pick_block(Mp, bm) % PACKED_WORD_BITS != 0:
+            eff = _pick_block(Mp, bm)
+            if packed and eff % PACKED_WORD_BITS != 0:
+                continue
+            # The packed-words stripe block is (bm/32, Np); Mosaic requires
+            # its second-minor dim divisible by 8 (or equal to the full
+            # words-array rows Mp/32).  bm=128 gives 4 word rows — illegal
+            # on hardware (legal in interpret mode, so CPU fuzz never saw
+            # it).  Found by the K=256 row of tools/bench_shapes.py, where
+            # the VMEM budget rejects bm=256 and fell through to bm=128.
+            if (
+                packed
+                and (eff // PACKED_WORD_BITS) % 8 != 0
+                and eff != Mp
+            ):
                 continue
             return True, bm
     return False, None

@@ -747,7 +747,6 @@ def test_artifact_configs_stay_pack_eligible():
         (1_000_000, 10_000, 32),
         (10_000, 10_000, 16),
         (10_000, 10_000, 64),
-        (10_000, 10_000, 256),
         (100_000, 1_000, 128),
     ]
     for M, N, K in packable:
@@ -755,9 +754,19 @@ def test_artifact_configs_stay_pack_eligible():
         ok, bm = ps.select_stripe(K, Mp, Np, 1, packed=True)
         assert ok, (M, N, K)
         assert Mp % bm == 0 and bm % 32 == 0, (M, N, K, bm)
+        # Mosaic legality of the words stripe block (bm/32, Np): its
+        # second-minor dim must be divisible by 8 or equal the full
+        # words-array rows.  bm=128 (4 word rows) crashed on hardware —
+        # found by the K=256 row of the round-5 shape sweep.
+        assert (bm // 32) % 8 == 0 or bm == Mp, (M, N, K, bm)
     # The wide aspect point intentionally exceeds the stripe VMEM budget and
     # must route dense-tiled (bench_shapes records the routing per row).
     ok, _ = ps.select_stripe(
         128, ps.round_up(1_000, 512), ps.round_up(100_000, 512), 1, packed=True
     )
+    assert not ok
+    # K=256 at 10240x10240: bm=256 exceeds the stripe VMEM budget and
+    # bm=128's words block is Mosaic-illegal, so packing must be DECLINED
+    # (it previously returned bm=128 and crashed the hardware shape sweep).
+    ok, _ = ps.select_stripe(256, 10_240, 10_240, 1, packed=True)
     assert not ok

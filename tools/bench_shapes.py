@@ -37,7 +37,6 @@ import os
 import statistics
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -61,44 +60,52 @@ def _sized_matmul_slope(jax, jnp, A, B, tiny=False):
     """Median slope (s/iter) of a hoist-proof A@B loop, with the iteration
     delta sized so >=1.5 s of device time separates the two counts — the
     10-45 ms variable per-dispatch cost must be noise against the delta
-    (docs/performance.md "Measurement methodology")."""
+    (docs/performance.md "Measurement methodology").
 
-    @partial(jax.jit, static_argnames="iters")
-    def loop(A, B, *, iters):
+    Hoist-proofing: the loop threads ``max(C)`` back into the carry.  A
+    full reduction cannot be narrowed into the dot — threading ``C[0, 0]``
+    let XLA rewrite the whole matmul to a single row-column dot product
+    (the round-5 run "calibrated" 5104.9 TF/s that way).  The price is one
+    read of C per iteration, which a real unfused consumer also pays; at
+    the calibration shape (4096^3: 64 MB read vs ~1.5 ms of MXU work) it
+    biases the rate <~5 % conservative.  The trip count is a traced
+    argument (fori_loop -> while_loop), so sizing probes reuse ONE
+    compiled executable instead of recompiling per count."""
+
+    @jax.jit
+    def loop(A, B, n):
         def body(_, Ai):
             C = Ai @ B
-            # thread the output back in: true data dependency, dead cheap
-            return Ai + C[0, 0] * 0.0
+            return Ai + jnp.max(C) * 1e-30
 
-        return jax.lax.fori_loop(0, iters, body, A)
+        return jax.lax.fori_loop(0, n, body, A)
 
+    def run(iters):
+        t0 = time.perf_counter()
+        float(loop(A, B, jnp.int32(iters))[0, 0])
+        return time.perf_counter() - t0
+
+    run(1)  # compile once
     if tiny:
         lo, hi = 2, 6
     else:
-        # Stage 1: coarse per-iter estimate from one (8, 40) pair.
-        float(loop(A, B, iters=8)[0, 0])
-        float(loop(A, B, iters=40)[0, 0])
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=8)[0, 0])
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=40)[0, 0])
-        t_hi = time.perf_counter() - t0
-        est = max((t_hi - t_lo) / 32.0, 1e-7)
+        # Stage 1: doubling search for a per-iter estimate good enough to
+        # size the delta (dispatch cost <= ~9 % of a 0.5 s probe).
+        iters, t = 64, run(64)
+        while t < 0.5 and iters < 1_000_000:
+            iters *= 4 if t < 0.1 else 2
+            t = run(iters)
+        est = max(t / iters, 1e-9)
         # Stage 2: size the delta from the estimate, >=1.5 s device time.
-        delta = int(np.clip(1.5 / est, 40, 8000))
+        delta = max(int(1.5 / est), 40)
         lo = max(10, delta // 4)
         hi = lo + delta
-    float(loop(A, B, iters=lo)[0, 0])
-    float(loop(A, B, iters=hi)[0, 0])
+    run(lo)
+    run(hi)
     slopes = []
     for _ in range(5):
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=lo)[0, 0])
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop(A, B, iters=hi)[0, 0])
-        t_hi = time.perf_counter() - t0
+        t_lo = run(lo)
+        t_hi = run(hi)
         slopes.append((t_hi - t_lo) / (hi - lo))
     return statistics.median(slopes)
 
